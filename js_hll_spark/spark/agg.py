@@ -1,0 +1,302 @@
+"""Mergeable sketch aggregation over DataFrames — the two-phase harness.
+
+Why not a GROUPED_AGG pandas UDF straight on raw rows: that shuffles the
+*raw rows* to their groups — fatal at 10^12 rows (SURVEY.md §4.3-1).
+Instead:
+
+1. **Hash JVM-side**: ``F.xxhash64`` (or a murmur column) inside
+   whole-stage codegen; Catalyst prunes the scan down to (keys, value).
+2. **Partial stage** (``mapInPandas``, no shuffle): every input partition
+   reduces to one register file per group key via numpy
+   ``np.maximum.at`` over Arrow batches. Output: one row per
+   (partition, key) carrying ~m bytes of raw registers.
+3. **Optional tree level**: when the partial count per key is large
+   (many input partitions), an intermediate merge keyed by
+   ``(key, partition_id % fanin)`` bounds the final task's input. The
+   union monoid (commutative/associative/idempotent max,
+   /root/reference/src/hll.js:345-346) makes this lossless — the same
+   property that licenses AQE re-merging and salting.
+4. **Final merge + estimate** (``applyInPandas`` after a shuffle of
+   sketches only): element-wise ``np.maximum.reduce``, then the
+   estimator once per group.
+
+Skew note: the partial stage is itself the skew mitigation — a hot key
+('en' at 60%) still produces exactly one partial row per partition, so
+the merge shuffle is uniform in the number of partitions, never in the
+number of raw rows.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..config import HLLConfig
+from ..core.hll import HLL, estimate_from_registers, update_registers
+from ..hashing import murmur3_64_uint64, to_uint64
+
+_HASH_COL = "__h64"
+_SKETCH_COL = "sketch"
+_PID_COL = "__pid"
+_ROWS_COL = "rows_seen"
+
+
+def _hash_column(col: str, method: str):
+    if method == "xxhash64":
+        return F.xxhash64(F.col(col))
+    raise ValueError(f"unknown JVM hash method {method!r}")
+
+
+def _partial_schema(key_fields: list[StructField]) -> StructType:
+    return StructType(
+        key_fields
+        + [
+            StructField(_PID_COL, LongType(), False),
+            StructField(_SKETCH_COL, BinaryType(), False),
+            StructField(_ROWS_COL, LongType(), False),
+        ]
+    )
+
+
+def _make_partial_fn(keys: Sequence[str], config: HLLConfig, hash_in_python: bool):
+    """mapInPandas function: stream Arrow batches, keep one register file
+    per key for the whole partition, emit once at iterator exhaustion."""
+
+    m = config.m
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        regs: dict[tuple, np.ndarray] = {}
+        rows: dict[tuple, int] = {}
+        keyvals: dict[tuple, tuple] = {}
+        for pdf in batches:
+            h = to_uint64(pdf[_HASH_COL].to_numpy())
+            if hash_in_python:
+                h = murmur3_64_uint64(h)
+            if not keys:
+                r = regs.get(())
+                if r is None:
+                    r = regs[()] = np.zeros(m, dtype=np.uint8)
+                    rows[()] = 0
+                    keyvals[()] = ()
+                update_registers(r, h, config)
+                rows[()] += len(pdf)
+                continue
+            groups = pdf.groupby(list(keys), sort=False, dropna=False).indices
+            for gkey, idx in groups.items():
+                gk = gkey if isinstance(gkey, tuple) else (gkey,)
+                r = regs.get(gk)
+                if r is None:
+                    r = regs[gk] = np.zeros(m, dtype=np.uint8)
+                    rows[gk] = 0
+                    keyvals[gk] = gk
+                update_registers(r, h[idx], config)
+                rows[gk] += len(idx)
+        if regs:
+            out = {}
+            for i, k in enumerate(keys):
+                out[k] = [keyvals[gk][i] for gk in regs]
+            out[_PID_COL] = [pid] * len(regs)
+            out[_SKETCH_COL] = [r.tobytes() for r in regs.values()]
+            out[_ROWS_COL] = [rows[gk] for gk in regs]
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def _make_merge_fn(
+    keys: Sequence[str],
+    config: HLLConfig,
+    *,
+    estimate: bool,
+    keep_sketch: bool,
+    pack: bool,
+):
+    """applyInPandas function: max-reduce raw register blobs per group."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        stacked = np.frombuffer(
+            b"".join(pdf[_SKETCH_COL].tolist()), dtype=np.uint8
+        ).reshape(len(pdf), config.m)
+        merged = np.maximum.reduce(stacked)
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        if keep_sketch:
+            if pack:
+                s = HLL(config, explicit_threshold=0, sparse_on=False)
+                s._regs = merged
+                out[_SKETCH_COL] = [s.to_bytes()]
+            else:
+                out[_SKETCH_COL] = [merged.tobytes()]
+        if estimate:
+            out["ndv"] = [estimate_from_registers(merged, config)]
+        out[_ROWS_COL] = [int(pdf[_ROWS_COL].sum())]
+        return pd.DataFrame(out)
+
+    return fn
+
+
+def _merge_schema(
+    df: DataFrame,
+    keys: Sequence[str],
+    *,
+    estimate: bool,
+    keep_sketch: bool,
+) -> StructType:
+    fields = [df.schema[k] for k in keys]
+    if keep_sketch:
+        fields.append(StructField(_SKETCH_COL, BinaryType(), False))
+    if estimate:
+        fields.append(StructField("ndv", DoubleType(), False))
+    fields.append(StructField(_ROWS_COL, LongType(), False))
+    return StructType(fields)
+
+
+def hll_sketch(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    *,
+    log2m: int = 13,
+    regwidth: int = 5,
+    hash_method: str = "xxhash64",
+    tree_fanin: int | None = None,
+    estimate: bool = True,
+    keep_sketch: bool = True,
+) -> DataFrame:
+    """Sketch ``value_col`` per group. Returns one row per group with a
+    spec-encoded ``sketch`` column, an ``ndv`` estimate and ``rows_seen``.
+
+    ``hash_method``: 'xxhash64' (JVM, default) or 'murmur3' (AK
+    convention, numpy-vectorized over the xxhash? no — over the raw value
+    cast to int64; only valid for integral value columns).
+    """
+    config = HLLConfig(log2m, regwidth)
+    keys = list(by)
+
+    hash_in_python = hash_method == "murmur3"
+    if hash_in_python:
+        # murmur convention: vectorized in the Python worker over the raw
+        # 64-bit value; restrict to integral columns (strings go xxhash64)
+        hashed = df.select(
+            *keys, F.col(value_col).cast("long").alias(_HASH_COL)
+        )
+    else:
+        hashed = df.select(*keys, _hash_column(value_col, hash_method).alias(_HASH_COL))
+
+    key_fields = [hashed.schema[k] for k in keys]
+    partials = hashed.mapInPandas(
+        _make_partial_fn(keys, config, hash_in_python),
+        schema=_partial_schema(key_fields),
+    )
+
+    if tree_fanin is None:
+        try:
+            n_parts = hashed.rdd.getNumPartitions()
+        except Exception:
+            n_parts = 0
+        # one intermediate merge level bounds the final task's fan-in when
+        # the job has many input partitions (100 TB => ~10^5 partitions)
+        tree_fanin = 64 if n_parts > 256 else 0
+
+    if tree_fanin:
+        salted = partials.withColumn(
+            _PID_COL, F.pmod(F.col(_PID_COL), F.lit(tree_fanin))
+        )
+        inter_schema = StructType(
+            key_fields
+            + [
+                StructField(_SKETCH_COL, BinaryType(), False),
+                StructField(_ROWS_COL, LongType(), False),
+            ]
+        )
+        inter_fn = _make_merge_fn(
+            keys + [_PID_COL], config, estimate=False, keep_sketch=True, pack=False
+        )
+
+        def inter_fn_drop(pdf: pd.DataFrame) -> pd.DataFrame:
+            return inter_fn(pdf).drop(columns=[_PID_COL])
+
+        partials = salted.groupBy(*(keys + [_PID_COL])).applyInPandas(
+            inter_fn_drop, schema=inter_schema
+        )
+
+    merge_fn = _make_merge_fn(
+        keys, config, estimate=estimate, keep_sketch=keep_sketch, pack=True
+    )
+    schema = _merge_schema(
+        hashed, keys, estimate=estimate, keep_sketch=keep_sketch
+    )
+    if keys:
+        return partials.groupBy(*keys).applyInPandas(merge_fn, schema=schema)
+    return partials.groupBy(F.lit(1).alias("__g")).applyInPandas(
+        lambda pdf: merge_fn(pdf), schema=schema
+    )
+
+
+def hll_ndv(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    *,
+    log2m: int = 13,
+    regwidth: int = 5,
+    hash_method: str = "xxhash64",
+    tree_fanin: int | None = None,
+) -> DataFrame:
+    """Approximate NDV(value_col) per group: (keys..., ndv double)."""
+    out = hll_sketch(
+        df,
+        value_col,
+        by,
+        log2m=log2m,
+        regwidth=regwidth,
+        hash_method=hash_method,
+        tree_fanin=tree_fanin,
+        estimate=True,
+        keep_sketch=False,
+    )
+    return out.select(*by, "ndv")
+
+
+def hll_rollup(
+    df: DataFrame,
+    by: Sequence[str],
+    sketch_col: str = _SKETCH_COL,
+    *,
+    estimate: bool = True,
+) -> DataFrame:
+    """Re-aggregate a persisted sketch table to a coarser grain without
+    touching raw data — the reference's ``union()`` at table scale
+    (src/hll.js:328-349). Input sketches are spec-encoded bytes and may
+    mix EXPLICIT/SPARSE/FULL and even shapes (auto-fold applies)."""
+    keys = list(by)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc: HLL | None = None
+        for blob in pdf[sketch_col]:
+            s = HLL.from_bytes(bytes(blob))
+            acc = s if acc is None else acc.union(s)
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        out[_SKETCH_COL] = [acc.to_bytes()]
+        if estimate:
+            out["ndv"] = [acc.algorithm_cardinality()]
+        return pd.DataFrame(out)
+
+    fields = [df.schema[k] for k in keys] + [
+        StructField(_SKETCH_COL, BinaryType(), False)
+    ]
+    if estimate:
+        fields.append(StructField("ndv", DoubleType(), False))
+    return df.groupBy(*keys).applyInPandas(fn, schema=StructType(fields))

@@ -1,0 +1,62 @@
+"""Scalar (Arrow-batched) sketch column functions.
+
+These run once per *sketch row* (post-aggregation), never per data row,
+so the pandas-UDF boundary cost is negligible; the per-row hot path stays
+JVM-side (see agg.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType, DoubleType, StringType
+
+from ..core.hll import HLL
+
+
+@pandas_udf(DoubleType())
+def hll_cardinality_udf(sketches: pd.Series) -> pd.Series:
+    """Estimate cardinality of each spec-encoded sketch blob
+    (reference: algorithmCardinality, src/hll.js:276-299)."""
+    return sketches.map(
+        lambda b: HLL.from_bytes(bytes(b)).algorithm_cardinality()
+    )
+
+
+@pandas_udf(StringType())
+def hll_to_hex_udf(sketches: pd.Series) -> pd.Series:
+    """Spec bytes -> '/x…' hex string (postgresql-hll interop,
+    src/util.js:167-174)."""
+    return sketches.map(lambda b: "/x" + bytes(b).hex())
+
+
+@pandas_udf(BinaryType())
+def hll_from_hex_udf(hexes: pd.Series) -> pd.Series:
+    """'/x…' (any 2-char prefix) hex string -> spec bytes
+    (src/util.js:145-147)."""
+    return hexes.map(lambda s: bytes.fromhex(s[2:]))
+
+
+@pandas_udf(BinaryType())
+def hll_union_pair_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Pairwise union of two sketch columns (src/hll.js:328-349)."""
+
+    def u(x, y):
+        if x is None:
+            return bytes(y) if y is not None else None
+        if y is None:
+            return bytes(x)
+        return HLL.from_bytes(bytes(x)).union(HLL.from_bytes(bytes(y))).to_bytes()
+
+    return pd.Series([u(x, y) for x, y in zip(a, b)])
+
+
+@pandas_udf(BinaryType())
+def hll_fold_udf(sketches: pd.Series, log2m: pd.Series) -> pd.Series:
+    """Fold each sketch to a smaller log2m (src/hll.js:363-398)."""
+    return pd.Series(
+        [
+            HLL.from_bytes(bytes(b)).fold(int(k)).to_bytes()
+            for b, k in zip(sketches, log2m)
+        ]
+    )

@@ -1,0 +1,54 @@
+"""SparkSession factory with the settings this library assumes."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip the js_hll_spark package so executors can import it — the same
+    artifact a cluster run passes via ``spark-submit --py-files``."""
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.dirname(pkg_dir)
+    out = os.path.join(tempfile.gettempdir(), "js_hll_spark_pkg.zip")
+    with zipfile.ZipFile(out, "w") as zf:
+        for dirpath, _, filenames in os.walk(pkg_dir):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, root))
+    return out
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make js_hll_spark importable on executor Python workers (local-mode
+    workers do not inherit the driver's sys.path mutations)."""
+    spark.sparkContext.addPyFile(package_zip())
+
+
+def get_spark(
+    app_name: str = "js_hll_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    spark = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    ship_package(spark)
+    return spark

@@ -1,0 +1,127 @@
+"""Spark-level tests for the two-phase sketch aggregation harness
+(SURVEY.md §5.2-3): estimates vs exact countDistinct within the published
+bound, partition-order invariance at the DataFrame level, rollup semantics,
+and scalar sketch-column functions."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from js_hll_spark import HLL
+from js_hll_spark.spark.agg import hll_ndv, hll_rollup, hll_sketch
+from js_hll_spark.spark.functions import (
+    hll_cardinality_udf,
+    hll_from_hex_udf,
+    hll_to_hex_udf,
+    hll_union_pair_udf,
+)
+
+BOUND = lambda log2m: 1.04 / math.sqrt(2 ** log2m)  # noqa: E731
+
+
+def test_global_ndv_events(spark, events):
+    exact = events.select(F.countDistinct("user_id")).first()[0]
+    est = hll_ndv(events, "user_id", log2m=13).first()["ndv"]
+    assert abs(est - exact) / exact < 3 * BOUND(13)
+
+
+def test_grouped_ndv_matches_exact(spark, events):
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    est = {
+        r["event_type"]: r["ndv"]
+        for r in hll_ndv(events, "user_id", by=["event_type"], log2m=13).collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert abs(e - exact[k]) / max(exact[k], 1) < 3 * BOUND(13), k
+
+
+def test_partition_order_invariance_spark(spark, documents):
+    """Bit-identical merged sketch regardless of partitioning (the
+    BASELINE merge clause, at the DataFrame level)."""
+    a = hll_sketch(documents, "text", log2m=11).first()["sketch"]
+    shuffled = documents.repartition(16, "doc_id")
+    b = hll_sketch(shuffled, "text", log2m=11).first()["sketch"]
+    assert bytes(a) == bytes(b)
+
+
+def test_tree_merge_equals_flat(spark, events):
+    flat = hll_sketch(events, "user_id", log2m=11, tree_fanin=0).first()
+    tree = hll_sketch(events, "user_id", log2m=11, tree_fanin=3).first()
+    assert bytes(flat["sketch"]) == bytes(tree["sketch"])
+    assert flat["ndv"] == tree["ndv"]
+
+
+def test_rows_seen_accounting(spark, events):
+    out = hll_sketch(events, "user_id", by=["event_type"], log2m=10).collect()
+    total = sum(r["rows_seen"] for r in out)
+    assert total == events.count()
+
+
+def test_rollup_from_persisted_sketches(spark, events, tmp_path):
+    """Sketch at fine grain, roll up to coarse grain via union only —
+    estimate must be bit-identical to sketching coarse directly."""
+    fine = hll_sketch(
+        events.withColumn("day", F.to_date("ts")),
+        "user_id",
+        by=["event_type", "day"],
+        log2m=11,
+    )
+    path = str(tmp_path / "sketches")
+    fine.write.parquet(path)
+    persisted = spark.read.parquet(path)
+    coarse = {
+        r["event_type"]: bytes(r["sketch"])
+        for r in hll_rollup(persisted, ["event_type"]).collect()
+    }
+    direct = {
+        r["event_type"]: bytes(r["sketch"])
+        for r in hll_sketch(events, "user_id", by=["event_type"], log2m=11).collect()
+    }
+    assert coarse == direct
+
+
+def test_scalar_udfs_roundtrip(spark, events):
+    sk = hll_sketch(events, "user_id", log2m=11)
+    row = (
+        sk.select(
+            hll_cardinality_udf("sketch").alias("card"),
+            hll_to_hex_udf("sketch").alias("hex"),
+        )
+        .select("card", hll_from_hex_udf("hex").alias("back"), "hex")
+        .first()
+    )
+    assert row["hex"].startswith("/x14")
+    assert (
+        HLL.from_bytes(bytes(row["back"])).algorithm_cardinality() == row["card"]
+    )
+
+
+def test_union_pair_udf(spark, events):
+    a = hll_sketch(
+        events.filter("event_id % 2 = 0"), "user_id", log2m=11
+    ).select(F.col("sketch").alias("a"))
+    b = hll_sketch(
+        events.filter("event_id % 2 = 1"), "user_id", log2m=11
+    ).select(F.col("sketch").alias("b"))
+    both = a.crossJoin(b).select(
+        hll_cardinality_udf(hll_union_pair_udf("a", "b")).alias("card")
+    )
+    direct = hll_sketch(events, "user_id", log2m=11).first()["ndv"]
+    assert both.first()["card"] == direct
+
+
+def test_murmur3_hash_method(spark, events):
+    """AK-convention murmur3 over an integral column, vectorized in the
+    worker; estimate must still land within bound."""
+    exact = events.select(F.countDistinct("user_id")).first()[0]
+    est = hll_ndv(events, "user_id", log2m=12, hash_method="murmur3").first()["ndv"]
+    assert abs(est - exact) / exact < 3 * BOUND(12)
