@@ -1,38 +1,56 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query; ``queries()``/``oracle_sql()``
+expose every implemented operator (SURVEY.md §2) with DuckDB oracles for
+the exact ones. Sketch estimates are rows-only by design (approximate);
+their accuracy is asserted in pytest within 1.04/sqrt(2^log2m).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: approximate NDV(text) per lang on sf0.001 documents,
+    joined against the exact count with the realized relative error —
+    one pass through hash -> partial -> shuffle -> merge -> estimate."""
+    from js_hll_spark.queries import _ship
+    from js_hll_spark.spark.agg import hll_ndv
+
+    _ship(spark)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    approx = hll_ndv(docs, "text", by=["lang"], log2m=13)
+    exact = docs.groupBy("lang").agg(F.countDistinct("text").alias("ndv_exact"))
+    return (
+        approx.join(exact, "lang")
+        .select(
+            "lang",
+            "ndv",
+            "ndv_exact",
+            F.round(
+                F.abs(F.col("ndv") - F.col("ndv_exact"))
+                / F.greatest(F.col("ndv_exact"), F.lit(1)),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("lang")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from js_hll_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from js_hll_spark.queries import ORACLES
+
+    return dict(ORACLES)

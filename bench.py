@@ -1,0 +1,93 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": docs_per_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is flagship NDV(doc surrogate) throughput in docs/sec
+over the biggest table (lineitem at sf0.1 ~ 600k rows) — workload shape
+mirrors the reference stress harness (insert-heavy, merge-light,
+estimate-rare; /root/reference/test/stress-test.html:25-26).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    from js_hll_spark.queries import QUERIES
+    from js_hll_spark.spark.agg import hll_ndv, hll_sketch
+    from js_hll_spark.spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").cache()
+    n_rows = lineitem.count()  # also warms the cache
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
+    results: dict[str, float] = {}
+
+    # flagship: global NDV over the largest column set
+    results["hll_ndv_global"] = timed(
+        lambda: hll_ndv(lineitem, "l_orderkey", log2m=13).collect()
+    )
+    results["hll_ndv_grouped"] = timed(
+        lambda: hll_sketch(
+            lineitem, "l_partkey", by=["l_returnflag", "l_linestatus"], log2m=13
+        ).collect()
+    )
+
+    bench_queries = [
+        "exact_ndv_by_lang",
+        "window_topk",
+        "quantiles_exact",
+        "token_count",
+        "quality_score",
+        "dedup_exact",
+        "minhash_lsh",
+        "ngram_jaccard",
+        "ann_bruteforce",
+        "simhash_signatures",
+        "hll_ndv_by_lang",
+        "hll_ndv_events_hourly",
+    ]
+    for name in bench_queries:
+        fn = QUERIES[name]
+        try:
+            results[name] = timed(lambda f=fn: f(spark, SF_DIR).collect())
+        except Exception as e:  # keep the bench line intact
+            print(f"bench {name} failed: {e}", file=sys.stderr)
+            results[name] = -1.0
+
+    flagship = results["hll_ndv_global"]
+    docs_per_sec = n_rows / flagship if flagship > 0 else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "NDV(url-surrogate) throughput docs/sec, flagship hll_ndv_global",
+                "value": round(docs_per_sec, 1),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in results.items()},
+                "sf": SF_DIR,
+                "rows": n_rows,
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

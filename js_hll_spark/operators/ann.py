@@ -1,0 +1,177 @@
+"""Approximate nearest-neighbor search over an embedding column
+(array<float>).
+
+Two tiers:
+
+- ``ann_bruteforce``: exact cosine top-k via a broadcast of the (small)
+  query set against the full table — the correctness baseline. The dot
+  product runs JVM-side with ``F.zip_with``/``F.aggregate`` (no UDF).
+- ``ann_lsh``: random-hyperplane LSH — each vector gets a b-bit signature
+  (sign of dot with b fixed pseudo-random hyperplanes); candidates share a
+  signature bucket, then exact cosine re-ranks inside buckets. The scale
+  path: the self-join keys on the bucket hash, so at 10^12 rows the
+  shuffle is uniform and candidate counts are bounded by bucket sizes.
+
+Hyperplanes are generated deterministically (seeded) driver-side and
+inlined as literal arrays — they are tiny (b x dim floats) and broadcast
+with the plan itself.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ann_bruteforce(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k of each query against all vectors.
+    Returns (query_id, neighbor_id, cos, rank). ``queries`` must be small
+    (it is broadcast)."""
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vv")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__vv")), round_to).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((bits, dim))
+
+
+def lsh_signature(vec_col, planes: np.ndarray):
+    """b-bit random-hyperplane signature as a long (sign-of-dot bits)."""
+    sig = F.lit(0).cast("long")
+    for i, row in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        bit = F.when(_dot(vec_col, plane) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return sig
+
+
+def ann_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    round_to: int = 5,
+) -> DataFrame:
+    """LSH-bucketed cosine top-k: candidates = vectors sharing the query's
+    signature bucket; exact cosine re-ranks candidates. Recall < 1 by
+    construction; raise ``bits`` fan-out (multi-probe) for higher recall."""
+    from pyspark.sql.window import Window
+
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    planes = hyperplanes(dim, bits, seed)
+    sig = lsh_signature(F.col(vec_col), planes)
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vv"),
+        sig.alias("__bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        sig.alias("__bucket"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "__bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__vv")), round_to).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold), LSH-bucketed so
+    the self-join never goes O(n^2). Returns (id_a, id_b, cos)."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    planes = hyperplanes(dim, bits, seed)
+    sig = lsh_signature(F.col(vec_col), planes)
+    v = vectors.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), sig.alias("__bucket")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 5).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

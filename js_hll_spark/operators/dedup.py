@@ -1,0 +1,252 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five tiers, cheapest first (SURVEY.md §2.2 + the training-pipeline ops the
+north rule adds):
+
+- exact: hash-groupBy on a normalized fingerprint (md5) — one shuffle of
+  (hash, id) pairs only.
+- minhash_lsh: shingle -> K minhashes -> B bands -> bucket join. Band
+  buckets are the join key, so candidate generation is an equi-join that
+  AQE can handle; no O(n^2) anywhere.
+- simhash: 64-bit near-dup signature, Hamming-banded.
+- ngram_jaccard: exact Jaccard on character shingles for candidate pairs
+  (verification tier after LSH).
+- embedding near-dup: cosine >= threshold over LSH-bucketed vectors (see
+  ann.py).
+
+Scale notes: every operator keys its shuffle on a hash (uniform by
+construction — no skew); joins of candidate pairs against the docs table
+are semi-joins on doc_id; nothing collects to the driver.
+
+MinHash here uses md5-derived permutations so the DuckDB oracle can
+reproduce signatures bit-for-bit (md5 exists on both engines); the
+numpy-vectorized xxhash64 variant in ``minhash_fast`` is the throughput
+path at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import fingerprint, tokens
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per normalized-text fingerprint."""
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingles(col, n: int = 3):
+    """Word n-gram shingles of the normalized token stream (JVM-side)."""
+    toks = tokens(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+
+
+def minhash_signature(col, k: int = 16, shingle_n: int = 3):
+    """Array of k minhash values; permutation j = min over shingles of
+    md5(j || shingle) (first 16 hex chars as the order key). md5 keeps the
+    signature reproducible in any engine (the DuckDB oracle recomputes it
+    exactly); swap in minhash_fast for raw throughput."""
+    sh = shingles(col, shingle_n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.substring(
+                    F.md5(F.concat(j.cast("string"), F.lit("|"), s)), 1, 16
+                ),
+            )
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing at least one LSH band
+    (rows of k/bands minhashes). Returns (id_a, id_b) with id_a < id_b.
+
+    Plan shape: one projection (signatures, codegen) -> explode bands ->
+    self-equi-join on (band_idx, band_hash) -> distinct pairs. The join key
+    is a hash, so it is skew-free; candidates are orders of magnitude fewer
+    than n^2."""
+    rows_per_band = k // bands
+    # explode shingles once, then k map-side min-aggregations — md5 is
+    # computed once per (shingle, permutation) inside codegen, and the
+    # partial HashAggregate collapses each partition to one row per doc
+    # before the shuffle (vs. recomputing the shingle array k times in a
+    # nested transform, which is ~10x slower)
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    )
+    sig = ex.groupBy("__id").agg(
+        *[
+            F.min(
+                F.substring(
+                    F.md5(F.concat(F.lit(str(j)), F.lit("|"), F.col("__sh"))),
+                    1,
+                    16,
+                )
+            ).alias(f"__mh{j}")
+            for j in range(k)
+        ]
+    )
+    band_cols = [
+        F.concat_ws(
+            ",",
+            *[F.col(f"__mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "__id",
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact word-shingle Jaccard. If ``pairs`` (id_a, id_b) is given, only
+    verifies those candidates (the LSH → verify pipeline); otherwise scores
+    all pairs sharing at least one shingle (exact mode for small/oracled
+    inputs). Returns (id_a, id_b, jaccard)."""
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh"),
+    )
+    sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if pairs is not None:
+        # verification tier: score only the LSH candidates
+        inter = inter.join(F.broadcast(pairs), ["id_a", "id_b"], "left_semi")
+    out = (
+        inter.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc, fully JVM-side: token xxhash64 -> per-bit
+    vote counts (single aggregate over a 64-wide int array) -> sign bits."""
+    toks = tokens(F.col(text_col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # F.shiftright/shiftleft take a Python-int bit count, so the 64 bit
+    # positions are unrolled driver-side into literal arrays.
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                    for i in range(64)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    bit_values = [1 << i for i in range(63)] + [-(1 << 63)]  # bit 63 = sign
+    sim = F.aggregate(
+        F.zip_with(
+            votes,
+            F.array(*[F.lit(v).cast("long") for v in bit_values]),
+            lambda v, b: F.when(v > 0, b).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"))
+
+
+def simhash_candidates(
+    sigs: DataFrame, *, band_bits: int = 16
+) -> DataFrame:
+    """Near-dup candidates: docs sharing any 16-bit simhash band (Hamming
+    distance <= 3 guarantees a shared band by pigeonhole)."""
+    bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )

@@ -1,0 +1,512 @@
+"""Query registry: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus, where the result is exact, an
+ANSI-SQL DuckDB oracle producing identical column names and values
+(SURVEY.md §2.2 — this is the driver's correctness gate).
+
+Sketch-estimate queries have no oracle (approximate by design); their
+accuracy is asserted in pytest against exact ground truth within the
+published 1.04/sqrt(2^log2m) bound.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from .operators import ann, dedup, text
+from .spark.agg import hll_ndv, hll_rollup, hll_sketch
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ship(spark: SparkSession) -> None:
+    """Idempotently make the package importable on executors (the driver
+    may have created the session without our factory)."""
+    if not getattr(spark, "_js_hll_shipped", False):
+        from .spark.session import ship_package
+
+        try:
+            ship_package(spark)
+        except Exception:
+            pass  # e.g. Spark Connect; local-mode cwd fallback applies
+        spark._js_hll_shipped = True
+
+
+# The shared normalization both engines apply before tokenizing.
+_SPARK_NORM = lambda c: F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))  # noqa: E731
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+# --------------------------------------------------------------------------
+# relational surface (exact, oracled)
+# --------------------------------------------------------------------------
+
+
+def q_scan_filter_project(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("lang") == "en") & (F.col("n_chars") > 200))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+SQL_SCAN = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE lang = 'en' AND n_chars > 200
+"""
+
+
+def q_join_broadcast_agg(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_JOIN = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_exact_ndv_by_lang(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.countDistinct("text").alias("ndv_exact"))
+    )
+
+
+SQL_EXACT_NDV = """
+SELECT lang, count(DISTINCT text) AS ndv_exact FROM documents GROUP BY lang
+"""
+
+
+def q_rollup_counts(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").alias("ndv_exact"),
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT lang, source, count(*) AS n_docs, count(DISTINCT text) AS ndv_exact
+FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
+def q_window_topk(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    counts = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "user_id", "n", "rank")
+    )
+
+
+SQL_WINDOW_TOPK = """
+WITH counts AS (
+  SELECT event_type, user_id, count(*) AS n
+  FROM events GROUP BY event_type, user_id
+), ranked AS (
+  SELECT event_type, user_id, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, user_id ASC) AS rank
+  FROM counts
+)
+SELECT event_type, user_id, n, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_sort_limit(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+SQL_SORT_LIMIT = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
+"""
+
+
+def q_setop_union(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en").select("doc_id", "lang")
+    short = docs.filter(F.col("n_chars") < 150).select("doc_id", "lang")
+    return en.unionByName(short).distinct()
+
+
+SQL_SETOP = """
+SELECT doc_id, lang FROM documents WHERE lang = 'en'
+UNION
+SELECT doc_id, lang FROM documents WHERE n_chars < 150
+"""
+
+
+def q_quantiles_exact(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+SQL_QUANTILES = """
+SELECT lang,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents GROUP BY lang
+"""
+
+
+def q_events_windowed_counts(spark, sf_dir):
+    """Tumbling 1-hour windows: exact twin of the streaming NDV query
+    (the sketch variant is hll_ndv_events_hourly below)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.countDistinct("user_id").alias("ndv_users"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "ndv_users",
+        )
+    )
+
+
+SQL_EVENTS_WINDOWED = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       count(DISTINCT user_id) AS ndv_users
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis (exact, oracled)
+# --------------------------------------------------------------------------
+
+
+def q_token_count(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id, len(string_split({_SQL_NORM}, ' ')) AS n_tokens
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", text.quality_score("text").alias("quality")
+    )
+
+
+_SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
+_SQL_STOPLIST = "['" + "','".join(text.STOPWORDS) + "']"
+
+SQL_QUALITY = f"""
+SELECT doc_id,
+  round(
+    0.5 * least(length(text) / 400.0, 1.0)
+    + 0.5 * (len(list_filter({_SQL_TOKS},
+                  t -> list_contains({_SQL_STOPLIST}, t)))
+             / greatest(len({_SQL_TOKS}), 1))
+    - ((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+       / greatest(length(text), 1)),
+  6) AS quality
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", text.fingerprint("text").alias("fingerprint")
+    )
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id, md5(array_to_string({_SQL_TOKS}, ' ')) AS fingerprint
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", text.lang_id("text").alias("lang_pred")
+    )
+
+
+def _sql_lang_score(markers: list[str]) -> str:
+    lst = "['" + "','".join(markers) + "']"
+    return f"len(list_filter({_SQL_TOKS}, t -> list_contains({lst}, t)))"
+
+
+_LANG_SCORES = {
+    lang: _sql_lang_score(m) for lang, m in text.LANG_MARKERS.items()
+}
+_BEST = "greatest(" + ", ".join(_LANG_SCORES.values()) + ")"
+_LANG_CASE = "CASE " + " ".join(
+    f"WHEN {score} = {_BEST} AND {_BEST} > 0 THEN '{lang}'"
+    for lang, score in _LANG_SCORES.items()
+) + " ELSE 'und' END"
+
+SQL_LANG_ID = f"""
+SELECT doc_id, {_LANG_CASE} AS lang_pred FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# deduplication (exact tiers oracled; hash-dependent tiers rows-only)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT md5(array_to_string({_SQL_TOKS}, ' ')) AS fp,
+       min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), k=8, bands=4, shingle_n=3
+    )
+
+
+def _sql_minhash(k: int, bands: int, shingle_n: int) -> str:
+    rows = k // bands
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         [array_to_string(t[i:i+{shingle_n - 1}], ' ')
+          for i in range(1, greatest(len(t)-{shingle_n}, 0)+2)] AS shingles
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+         [list_min([substring(md5(j::VARCHAR || '|' || s), 1, 16)
+                    for s in shingles])
+          for j in range(0, {k})] AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id, b AS band_idx,
+         array_to_string(sig[b*{rows}+1:b*{rows}+{rows}], ',') AS band_hash
+  FROM sig, range(0, {bands}) r(b)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+"""
+
+
+SQL_MINHASH_LSH = _sql_minhash(8, 4, 3)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard(
+        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.2
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    [array_to_string(t[i:i+2], ' ')
+     for i in range(1, greatest(len(t)-3, 0)+2)]) AS sh
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+"""
+
+
+def q_simhash_signatures(spark, sf_dir):
+    # rows-only: xxhash64 does not exist in DuckDB
+    return dedup.simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann.ann_bruteforce(emb, queries, k=5, round_to=4)
+
+
+SQL_ANN = """
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))), 4) AS cos
+  FROM emb e CROSS JOIN q WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    # rows-only: bucketing depends on seeded hyperplanes; recall asserted
+    # against the brute-force baseline in pytest
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann.ann_lsh(emb, queries, k=5, bits=4)
+
+
+# --------------------------------------------------------------------------
+# sketch queries (approximate -> rows-only; accuracy gated in pytest)
+# --------------------------------------------------------------------------
+
+
+def q_hll_ndv_global(spark, sf_dir):
+    _ship(spark)
+    return hll_ndv(_t(spark, sf_dir, "documents"), "text", log2m=13)
+
+
+def q_hll_ndv_by_lang(spark, sf_dir):
+    _ship(spark)
+    return hll_ndv(
+        _t(spark, sf_dir, "documents"), "text", by=["lang"], log2m=13
+    )
+
+
+def q_hll_ndv_events_hourly(spark, sf_dir):
+    _ship(spark)
+    events = _t(spark, sf_dir, "events").withColumn(
+        "window_start", F.date_trunc("hour", "ts")
+    )
+    return hll_ndv(events, "user_id", by=["window_start"], log2m=12)
+
+
+def q_hll_sketch_rollup(spark, sf_dir):
+    """Sketch at (lang, source) grain, roll up to lang by union only."""
+    _ship(spark)
+    fine = hll_sketch(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        by=["lang", "source"],
+        log2m=12,
+        estimate=False,
+    )
+    return hll_rollup(fine, ["lang"]).select("lang", "ndv")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "scan_filter_project": q_scan_filter_project,
+    "join_broadcast_agg": q_join_broadcast_agg,
+    "exact_ndv_by_lang": q_exact_ndv_by_lang,
+    "rollup_counts": q_rollup_counts,
+    "window_topk": q_window_topk,
+    "sort_limit": q_sort_limit,
+    "setop_union": q_setop_union,
+    "quantiles_exact": q_quantiles_exact,
+    "events_windowed_counts": q_events_windowed_counts,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "fingerprint": q_fingerprint,
+    "lang_id": q_lang_id,
+    "dedup_exact": q_dedup_exact,
+    "minhash_lsh": q_minhash_lsh,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash_signatures": q_simhash_signatures,
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_lsh": q_ann_lsh,
+    "hll_ndv_global": q_hll_ndv_global,
+    "hll_ndv_by_lang": q_hll_ndv_by_lang,
+    "hll_ndv_events_hourly": q_hll_ndv_events_hourly,
+    "hll_sketch_rollup": q_hll_sketch_rollup,
+}
+
+ORACLES: dict[str, str] = {
+    "scan_filter_project": SQL_SCAN,
+    "join_broadcast_agg": SQL_JOIN,
+    "exact_ndv_by_lang": SQL_EXACT_NDV,
+    "rollup_counts": SQL_ROLLUP,
+    "window_topk": SQL_WINDOW_TOPK,
+    "sort_limit": SQL_SORT_LIMIT,
+    "setop_union": SQL_SETOP,
+    "quantiles_exact": SQL_QUANTILES,
+    "events_windowed_counts": SQL_EVENTS_WINDOWED,
+    "token_count": SQL_TOKEN_COUNT,
+    "quality_score": SQL_QUALITY,
+    "fingerprint": SQL_FINGERPRINT,
+    "lang_id": SQL_LANG_ID,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "minhash_lsh": SQL_MINHASH_LSH,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "ann_bruteforce": SQL_ANN,
+}

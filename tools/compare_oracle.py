@@ -1,0 +1,103 @@
+"""Local stand-in for the driver's correctness gate: run each registered
+query through Spark AND its DuckDB oracle at sf0.01, compare row count,
+column names, and an order-insensitive value hash (columns sorted by name,
+rows sorted, values stringified with float rounding)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def value_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(canon(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main(only=None):
+    from js_hll_spark.queries import ORACLES, QUERIES
+    from js_hll_spark.spark.session import get_spark
+
+    spark = get_spark("oracle-compare", master="local[4]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    failures = []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {str(e)[:200]}")
+            failures.append(name)
+            continue
+        if name not in ORACLES:
+            print(f"rows  {name}: {len(srows)} rows (no oracle)")
+            continue
+        try:
+            cur = con.sql(ORACLES[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
+            failures.append(name)
+            continue
+        ok_cols = sorted(scols) == sorted(dcols)
+        ok_count = len(srows) == len(drows)
+        sh, dh = value_hash(scols, srows), value_hash(dcols, drows)
+        ok_hash = sh == dh
+        status = "OK  " if (ok_cols and ok_count and ok_hash) else "FAIL"
+        print(
+            f"{status}  {name}: spark {len(srows)}x{len(scols)}"
+            f" duck {len(drows)}x{len(dcols)}"
+            f" cols={'=' if ok_cols else 'DIFF'}"
+            f" hash={'=' if ok_hash else 'DIFF ' + sh + ' vs ' + dh}"
+        )
+        if status == "FAIL":
+            failures.append(name)
+            if not ok_cols:
+                print(f"      spark cols: {sorted(scols)}")
+                print(f"      duck  cols: {sorted(dcols)}")
+    spark.stop()
+    print("\nFAILURES:" if failures else "\nALL OK", ", ".join(failures))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(set(sys.argv[1:]) or None))
