@@ -465,6 +465,120 @@ def q_hll_sketch_rollup(spark, sf_dir):
     return hll_rollup(fine, ["lang"]).select("lang", "ndv")
 
 
+def q_heavy_hitters_exact(spark, sf_dir):
+    """Exact twin of the CMS heavy-hitter pipeline (top tokens)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens("text")).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+SQL_HEAVY_HITTERS = f"""
+SELECT tok, count(*) AS n
+FROM (SELECT unnest({_SQL_TOKS}) AS tok FROM documents)
+GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20
+"""
+
+
+def q_heavy_hitters_cms(spark, sf_dir):
+    # rows-only: CMS estimates are one-sided approximate; top-set overlap
+    # and overcount bound asserted in pytest
+    _ship(spark)
+    from .spark.sketch_agg import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens("text")).alias("tok"))
+    return heavy_hitters(toks, "tok", k=20, width=16384)
+
+
+def q_quantiles_kll(spark, sf_dir):
+    _ship(spark)
+    from .spark.sketch_agg import approx_quantiles
+
+    return approx_quantiles(
+        _t(spark, sf_dir, "documents"), "n_chars", by=["lang"], qs=(0.5, 0.9, 0.99)
+    )
+
+
+def q_quantiles_tdigest(spark, sf_dir):
+    _ship(spark)
+    from .spark.sketch_agg import approx_quantiles
+
+    return approx_quantiles(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        qs=(0.5, 0.99),
+        method="tdigest",
+    )
+
+
+def q_semijoin_membership(spark, sf_dir):
+    """Exact twin of Bloom membership: orders whose customer exists."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+            "left_semi",
+        )
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_member_orders"))
+    )
+
+
+SQL_SEMIJOIN = """
+SELECT count(*) AS n_member_orders FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+"""
+
+
+def q_bloom_membership(spark, sf_dir):
+    # rows-only: Bloom has false positives by design (no false negatives
+    # asserted in pytest); returns the probable-member count
+    _ship(spark)
+    import numpy as np
+
+    from .core.bloom import BloomFilter
+    from .hashing import to_uint64
+    from .spark.sketch_agg import sketch_agg
+
+    customer = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    blob = sketch_agg(
+        customer, "c_custkey", kind="bloom", params={"n_bits": 1 << 18, "n_hashes": 7}
+    ).select("sketch")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.xxhash64("o_custkey").alias("__h")
+    )
+    joined = orders.crossJoin(F.broadcast(blob))
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def probe_fn(batches):
+        bf = None
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if bf is None:
+                bf = BloomFilter.from_bytes(bytes(pdf["sketch"].iloc[0]))
+            n += int(bf.contains_hashed(to_uint64(pdf["__h"].to_numpy())).sum())
+        yield pd.DataFrame({"n_member_orders": [n]})
+
+    per_part = joined.mapInPandas(
+        probe_fn,
+        schema=StructType([StructField("n_member_orders", LongType(), False)]),
+    )
+    return per_part.groupBy().agg(
+        F.sum("n_member_orders").alias("n_member_orders")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_filter_project": q_scan_filter_project,
     "join_broadcast_agg": q_join_broadcast_agg,
@@ -485,6 +599,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_signatures": q_simhash_signatures,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "heavy_hitters_exact": q_heavy_hitters_exact,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
+    "quantiles_kll": q_quantiles_kll,
+    "quantiles_tdigest": q_quantiles_tdigest,
+    "semijoin_membership": q_semijoin_membership,
+    "bloom_membership": q_bloom_membership,
     "hll_ndv_global": q_hll_ndv_global,
     "hll_ndv_by_lang": q_hll_ndv_by_lang,
     "hll_ndv_events_hourly": q_hll_ndv_events_hourly,
@@ -509,4 +629,6 @@ ORACLES: dict[str, str] = {
     "minhash_lsh": SQL_MINHASH_LSH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "ann_bruteforce": SQL_ANN,
+    "heavy_hitters_exact": SQL_HEAVY_HITTERS,
+    "semijoin_membership": SQL_SEMIJOIN,
 }

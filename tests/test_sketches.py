@@ -1,0 +1,257 @@
+"""Companion sketch tests (SURVEY.md §2.3): numpy-core properties
+(update/merge/codec/error bounds) and Spark-level pipelines validated
+against exact twins and Spark builtins."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from js_hll_spark.core.bloom import BloomFilter
+from js_hll_spark.core.cms import CountMinSketch
+from js_hll_spark.core.kll import KLLSketch
+from js_hll_spark.core.tdigest import TDigest
+from js_hll_spark.spark.sketch_agg import approx_quantiles, heavy_hitters, sketch_agg
+
+
+def hashes(n, seed=0):
+    return np.random.default_rng(seed).integers(0, 2 ** 63, n, dtype=np.uint64)
+
+
+# ------------------------------------------------------------------ CMS --
+
+
+class TestCMS:
+    def test_point_queries_one_sided(self):
+        cms = CountMinSketch(depth=5, width=4096)
+        rng = np.random.default_rng(1)
+        keys = hashes(200, 2)
+        true_counts = rng.integers(1, 500, size=200)
+        for h, c in zip(keys, true_counts):
+            cms.update_hashed(np.full(c, h, dtype=np.uint64))
+        est = cms.query_hashed(keys)
+        assert (est >= true_counts).all()  # never undercounts
+        overcount = est - true_counts
+        assert overcount.max() <= math.e / 4096 * cms.total * 3
+
+    def test_merge_equals_single(self):
+        a, b = CountMinSketch(4, 1024), CountMinSketch(4, 1024)
+        va, vb = hashes(5000, 3), hashes(5000, 4)
+        a.update_hashed(va)
+        b.update_hashed(vb)
+        both = CountMinSketch(4, 1024)
+        both.update_hashed(np.concatenate([va, vb]))
+        merged = a.merge(b)
+        np.testing.assert_array_equal(merged.table, both.table)
+        assert merged.total == both.total
+
+    def test_codec_roundtrip(self):
+        cms = CountMinSketch(3, 512)
+        cms.update_hashed(hashes(1000, 5))
+        back = CountMinSketch.from_bytes(cms.to_bytes())
+        np.testing.assert_array_equal(back.table, cms.table)
+        assert back.total == cms.total
+
+    def test_shape_mismatch(self):
+        with pytest.raises(ValueError):
+            CountMinSketch(4, 1024).merge(CountMinSketch(4, 512))
+
+
+# ---------------------------------------------------------------- Bloom --
+
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        bf = BloomFilter.for_capacity(10_000, 0.01)
+        present = hashes(10_000, 6)
+        bf.add_hashed(present)
+        assert bf.contains_hashed(present).all()
+
+    def test_fpr_within_spec(self):
+        bf = BloomFilter.for_capacity(10_000, 0.01)
+        bf.add_hashed(hashes(10_000, 7))
+        absent = hashes(50_000, 8)
+        fpr = bf.contains_hashed(absent).mean()
+        assert fpr < 0.03  # spec 0.01 + sampling slack
+
+    def test_merge_is_union(self):
+        a = BloomFilter(1 << 16, 5)
+        b = BloomFilter(1 << 16, 5)
+        va, vb = hashes(1000, 9), hashes(1000, 10)
+        a.add_hashed(va)
+        b.add_hashed(vb)
+        a.merge(b)
+        assert a.contains_hashed(va).all() and a.contains_hashed(vb).all()
+
+    def test_codec_roundtrip(self):
+        bf = BloomFilter(1 << 12, 3)
+        bf.add_hashed(hashes(100, 11))
+        back = BloomFilter.from_bytes(bf.to_bytes())
+        np.testing.assert_array_equal(back.bits, bf.bits)
+
+
+# ------------------------------------------------------------------ KLL --
+
+
+class TestKLL:
+    def test_rank_error_bound(self):
+        n = 200_000
+        values = np.random.default_rng(12).standard_normal(n)
+        sk = KLLSketch(k=200)
+        for chunk in np.array_split(values, 10):
+            sk.update(chunk)
+        svals = np.sort(values)
+        for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+            est = sk.quantile(q)
+            true_rank = np.searchsorted(svals, est) / n
+            assert abs(true_rank - q) < 0.025, (q, est, true_rank)
+
+    def test_merge_error_bound(self):
+        values = np.random.default_rng(13).uniform(0, 1000, 100_000)
+        parts = np.array_split(values, 7)
+        merged = KLLSketch(k=200)
+        for p in parts:
+            s = KLLSketch(k=200)
+            s.update(p)
+            merged.merge(s)
+        assert merged.n == values.size
+        svals = np.sort(values)
+        for q in (0.1, 0.5, 0.9):
+            est = merged.quantile(q)
+            true_rank = np.searchsorted(svals, est) / values.size
+            assert abs(true_rank - q) < 0.03
+
+    def test_codec_roundtrip(self):
+        sk = KLLSketch(k=64)
+        sk.update(np.arange(10_000, dtype=np.float64))
+        back = KLLSketch.from_bytes(sk.to_bytes())
+        assert back.n == sk.n
+        assert back.quantile(0.5) == sk.quantile(0.5)
+
+    def test_nan_ignored_and_empty(self):
+        sk = KLLSketch()
+        sk.update(np.array([np.nan, np.nan]))
+        assert sk.n == 0 and math.isnan(sk.quantile(0.5))
+
+
+# -------------------------------------------------------------- t-digest --
+
+
+class TestTDigest:
+    def test_quantile_accuracy(self):
+        values = np.random.default_rng(14).standard_normal(300_000)
+        td = TDigest(compression=100)
+        for chunk in np.array_split(values, 20):
+            td.update(chunk)
+        svals = np.sort(values)
+        for q in (0.001, 0.01, 0.5, 0.99, 0.999):
+            est = td.quantile(q)
+            true_rank = np.searchsorted(svals, est) / values.size
+            # t-digest is tightest at the tails
+            tol = 0.005 if min(q, 1 - q) < 0.05 else 0.02
+            assert abs(true_rank - q) < tol, (q, est, true_rank)
+        assert len(td.means) < 2 * 100
+
+    def test_merge_error_bound(self):
+        values = np.random.default_rng(15).uniform(-5, 5, 120_000)
+        merged = TDigest(100)
+        for p in np.array_split(values, 9):
+            t = TDigest(100)
+            t.update(p)
+            merged.merge(t)
+        assert merged.n == values.size
+        svals = np.sort(values)
+        for q in (0.05, 0.5, 0.95):
+            true_rank = np.searchsorted(svals, merged.quantile(q)) / values.size
+            assert abs(true_rank - q) < 0.02
+
+    def test_codec_roundtrip(self):
+        td = TDigest(50)
+        td.update(np.random.default_rng(16).uniform(0, 1, 10_000))
+        back = TDigest.from_bytes(td.to_bytes())
+        assert back.quantile(0.5) == td.quantile(0.5)
+        assert back.n == td.n
+
+
+# ------------------------------------------------------------ Spark-level --
+
+
+def test_spark_approx_quantiles(spark, documents):
+    est = approx_quantiles(
+        documents, "n_chars", by=["lang"], qs=(0.5, 0.9), method="kll"
+    ).collect()
+    exact = {
+        r["lang"]: (r["e50"], r["e90"])
+        for r in documents.groupBy("lang")
+        .agg(
+            F.expr("percentile(n_chars, 0.5)").alias("e50"),
+            F.expr("percentile(n_chars, 0.9)").alias("e90"),
+        )
+        .collect()
+    }
+    spread = {
+        r["lang"]: r["mx"] - r["mn"]
+        for r in documents.groupBy("lang")
+        .agg(F.max("n_chars").alias("mx"), F.min("n_chars").alias("mn"))
+        .collect()
+    }
+    for r in est:
+        e50, e90 = exact[r["lang"]]
+        assert abs(r["q50"] - e50) <= 0.15 * spread[r["lang"]] + 1
+        assert abs(r["q90"] - e90) <= 0.15 * spread[r["lang"]] + 1
+
+
+def test_spark_tdigest_quantiles(spark, lineitem):
+    est = approx_quantiles(
+        lineitem, "l_extendedprice", qs=(0.5,), method="tdigest"
+    ).first()
+    exact = lineitem.select(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("e")
+    ).first()["e"]
+    assert abs(est["q50"] - exact) / exact < 0.02
+
+
+def test_spark_heavy_hitters_match_exact(spark, documents):
+    toks = documents.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    approx = heavy_hitters(toks, "tok", k=10, width=16384).collect()
+    exact = (
+        toks.groupBy("tok")
+        .count()
+        .orderBy(F.desc("count"), F.asc("tok"))
+        .limit(10)
+        .collect()
+    )
+    approx_set = {r["value"] for r in approx[:5]}
+    exact_set = {r["tok"] for r in exact[:5]}
+    assert len(approx_set & exact_set) >= 4
+    exact_counts = {r["tok"]: r["count"] for r in exact}
+    for r in approx:
+        if r["value"] in exact_counts:
+            assert r["est_count"] >= exact_counts[r["value"]]  # one-sided
+
+
+def test_spark_bloom_membership(spark, events):
+    bf_row = sketch_agg(events, "user_id", kind="bloom",
+                        params={"n_bits": 1 << 16, "n_hashes": 5}).first()
+    bf = BloomFilter.from_bytes(bytes(bf_row["sketch"]))
+    present = events.select(F.xxhash64("user_id").alias("h")).distinct().collect()
+    h = np.array([r["h"] for r in present], dtype=np.int64).view(np.uint64)
+    assert bf.contains_hashed(h).all()
+
+
+def test_spark_cms_grouped(spark, events):
+    out = sketch_agg(
+        events, "user_id", by=["event_type"], kind="cms",
+        params={"depth": 4, "width": 1024},
+    ).collect()
+    totals = {r["event_type"]: r["rows_seen"] for r in out}
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert totals == exact
