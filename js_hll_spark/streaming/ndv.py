@@ -1,0 +1,109 @@
+"""Streaming windowed NDV over Structured Streaming.
+
+Design (SURVEY.md §2.2 'streaming'): sketches are order-insensitive
+monoids, so late data is just another merge — no retraction logic. Each
+micro-batch reduces to per-(window, key) partial sketches via the same
+two-phase harness as batch, then folds into a persisted sketch-table
+(parquet) keyed by (window_start, keys): read current state, union, write
+back. ``withWatermark`` bounds how late events may arrive before their
+window's sketch row is frozen.
+
+At cluster scale the state table would be an Iceberg table with
+MERGE INTO; the parquet swap here is the sandbox stand-in with the same
+semantics (atomic directory replace).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..core.hll import HLL
+from ..spark.agg import hll_sketch
+from ..spark.functions import hll_cardinality_udf
+
+
+def merge_sketch_tables(
+    current: DataFrame | None, incoming: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Union-merge two sketch tables on ``keys`` (full outer; sketches
+    union where both sides have rows)."""
+    from ..spark.agg import hll_rollup
+
+    if current is None:
+        return incoming
+    both = current.select(*keys, "sketch", "rows_seen").unionByName(
+        incoming.select(*keys, "sketch", "rows_seen")
+    )
+    merged = hll_rollup(both, keys, estimate=False)
+    rows = both.groupBy(*keys).agg(F.sum("rows_seen").alias("rows_seen"))
+    return merged.join(rows, list(keys))
+
+
+def streaming_ndv(
+    stream: DataFrame,
+    value_col: str,
+    *,
+    ts_col: str,
+    window: str = "1 hour",
+    keys: Sequence[str] = (),
+    state_dir: str,
+    watermark: str = "2 hours",
+    log2m: int = 12,
+    checkpoint_dir: str | None = None,
+):
+    """Start a foreachBatch streaming query maintaining a per-window NDV
+    sketch table under ``state_dir``. Returns the StreamingQuery.
+
+    Read estimates any time with ``read_ndv_state(spark, state_dir)``.
+    """
+    spark = stream.sparkSession
+    keys = list(keys)
+    state_path = os.path.join(state_dir, "state")
+    checkpoint_dir = checkpoint_dir or os.path.join(state_dir, "_checkpoint")
+
+    windowed = stream.withWatermark(ts_col, watermark)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        with_window = batch_df.withColumn(
+            "window_start", F.window(ts_col, window).start
+        )
+        partials = hll_sketch(
+            with_window,
+            value_col,
+            by=["window_start", *keys],
+            log2m=log2m,
+            estimate=False,
+        )
+        current = None
+        if os.path.exists(state_path):
+            current = spark.read.parquet(state_path)
+        merged = merge_sketch_tables(
+            current, partials, ["window_start", *keys]
+        ).cache()
+        tmp = state_path + f".tmp{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        merged.unpersist()
+        old = state_path + ".old"
+        if os.path.exists(state_path):
+            os.rename(state_path, old)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        windowed.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def read_ndv_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current per-window NDV estimates from the persisted sketch table."""
+    state = spark.read.parquet(os.path.join(state_dir, "state"))
+    return state.withColumn("ndv", hll_cardinality_udf("sketch")).drop("sketch")

@@ -1,0 +1,53 @@
+"""Statistical accuracy test (SURVEY.md §5.2-4, BASELINE row 8): across
+many seeded trials the empirical RMS relative error must sit at or below
+the published 1.04/sqrt(2^log2m) within sampling noise."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from js_hll_spark import HLL, HLLConfig
+
+TRIALS = 24
+N = 50_000
+
+
+@pytest.mark.parametrize("log2m", [10, 11, 12, 13, 14])
+def test_rms_relative_error_within_bound(log2m):
+    # keep n >> m: the uncorrected estimator has a known error hump in the
+    # transition region n ~ 2.5m..5m (the reason HLL++ adds bias
+    # correction; js-hll does not, and we are faithful to it)
+    n = max(N, 30 * (1 << log2m))
+    errs = []
+    for t in range(TRIALS):
+        values = np.random.default_rng(1000 * log2m + t).integers(
+            0, 2 ** 63, n, dtype=np.uint64
+        )
+        s = HLL(HLLConfig(log2m, 5), explicit_threshold=0, sparse_on=False)
+        s.add_raw64(values)
+        errs.append((s.algorithm_cardinality() - n) / n)
+    rms = math.sqrt(sum(e * e for e in errs) / len(errs))
+    bound = 1.04 / math.sqrt(2 ** log2m)
+    # chi-square upper fluctuation for 24 trials ~ 1.35x
+    assert rms <= 1.35 * bound, (log2m, rms, bound)
+
+
+def test_error_scales_with_precision():
+    """Doubling m should shrink RMS error by ~sqrt(2) on average."""
+    values = [
+        np.random.default_rng(50 + t).integers(0, 2 ** 63, N, dtype=np.uint64)
+        for t in range(TRIALS)
+    ]
+
+    def rms(log2m):
+        errs = []
+        for v in values:
+            s = HLL(HLLConfig(log2m, 5), explicit_threshold=0)
+            s.add_raw64(v)
+            errs.append((s.algorithm_cardinality() - N) / N)
+        return math.sqrt(sum(e * e for e in errs) / len(errs))
+
+    assert rms(14) < rms(10)

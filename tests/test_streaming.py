@@ -1,0 +1,79 @@
+"""Structured Streaming windowed NDV with watermark + late data
+(SURVEY.md §2.2 'streaming'): stream the events table as micro-batched
+files, maintain the per-window sketch state table, compare final
+estimates to batch exact counts. Late data is just another union — the
+sketch monoid needs no retraction."""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from js_hll_spark.streaming.ndv import read_ndv_state, streaming_ndv
+
+
+def test_streaming_windowed_ndv(spark, events, tmp_path):
+    src_dir = str(tmp_path / "stream_src")
+    state_dir = str(tmp_path / "ndv_state")
+
+    # split events into 4 files written one at a time, deliberately out of
+    # time order (file 3 holds the earliest hours -> late data)
+    ev = events.withColumn("__bucket", F.pmod(F.col("event_id"), F.lit(4)))
+    for i in [1, 2, 3, 0]:
+        ev.filter(F.col("__bucket") == i).drop("__bucket").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        # parquet timestamps load as TIMESTAMP_NTZ; watermarks need TIMESTAMP
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+    q = streaming_ndv(
+        stream,
+        "user_id",
+        ts_col="ts",
+        window="6 hours",
+        state_dir=state_dir,
+        watermark="24 hours",
+        log2m=12,
+    )
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        q.processAllAvailable()
+        if os.path.exists(os.path.join(state_dir, "state")):
+            break
+        time.sleep(1)
+    q.processAllAvailable()
+    q.stop()
+
+    est = {
+        r["window_start"]: r["ndv"]
+        for r in read_ndv_state(spark, state_dir).collect()
+    }
+    exact = {
+        r["w"]["start"]: r["n"]
+        for r in events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    bound = 3 * 1.04 / math.sqrt(2 ** 12)
+    for w, n in exact.items():
+        assert abs(est[w] - n) / max(n, 1) < max(bound, 0.2), (w, est[w], n)
+
+    # rows_seen accounting survived the merges
+    total_rows = (
+        read_ndv_state(spark, state_dir)
+        .agg(F.sum("rows_seen").alias("s"))
+        .first()["s"]
+    )
+    assert total_rows == events.count()
