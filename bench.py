@@ -29,7 +29,13 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
     spark.sparkContext.setLogLevel("ERROR")
 
-    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").cache()
+    # sf parquet ships as a single row group -> one scan split; repartition
+    # into the cache so the benched queries actually use all cores
+    lineitem = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .repartition(int(CPUS))
+        .cache()
+    )
     n_rows = lineitem.count()  # also warms the cache
 
     def timed(fn):
@@ -43,6 +49,21 @@ def main() -> None:
     results["hll_ndv_global"] = timed(
         lambda: hll_ndv(lineitem, "l_orderkey", log2m=13).collect()
     )
+
+    # flagship on the CC-style webtext table (the north-star input shape):
+    # 1M generated pages, NDV(url) global and per lang
+    from js_hll_spark.sources.webtext import webtext_table
+
+    pages = webtext_table(spark, 1_000_000, partitions=int(CPUS) * 2).cache()
+    n_pages = pages.count()
+    results["webtext_ndv_url"] = timed(
+        lambda: hll_ndv(pages, "url", log2m=13).collect()
+    )
+    results["webtext_ndv_by_lang"] = timed(
+        lambda: hll_ndv(pages, "url", by=["lang"], log2m=13).collect()
+    )
+    webtext_docs_per_sec = n_pages / results["webtext_ndv_url"]
+    pages.unpersist()
     results["hll_ndv_grouped"] = timed(
         lambda: hll_sketch(
             lineitem, "l_partkey", by=["l_returnflag", "l_linestatus"], log2m=13
@@ -82,6 +103,8 @@ def main() -> None:
                 "queries": {k: round(v, 3) for k, v in results.items()},
                 "sf": SF_DIR,
                 "rows": n_rows,
+                "webtext_rows": n_pages,
+                "webtext_docs_per_sec": round(webtext_docs_per_sec, 1),
                 "cpus": int(CPUS),
             }
         )

@@ -32,16 +32,34 @@ from ..hashing import to_uint64
 
 _VAL = "__v"
 
+def _cms_update(s: CountMinSketch, v: np.ndarray, counts: np.ndarray | None = None) -> None:
+    if counts is not None:
+        # pre-aggregated (value, count) pairs from the JVM HashAggregate
+        s.update_hashed(to_uint64(v), counts.astype(np.int64, copy=False))
+        return
+    # pre-aggregate the batch: real token streams repeat heavily, and one
+    # np.add.at per unique value beats 130M scattered adds by 10-50x
+    u, c = np.unique(to_uint64(v), return_counts=True)
+    s.update_hashed(u, c)
+
+
+def _bloom_update(s: BloomFilter, v: np.ndarray) -> None:
+    u = np.unique(to_uint64(v))
+    s.add_hashed(u)
+    # n_items tracks insertions for the FPR estimate; count duplicates too
+    s.n_items += int(v.size - u.size)
+
+
 _KINDS: dict[str, dict] = {
     "cms": {
         "factory": lambda p: CountMinSketch(p.get("depth", 5), p.get("width", 2048)),
-        "update": lambda s, v: s.update_hashed(to_uint64(v)),
+        "update": _cms_update,
         "decode": CountMinSketch.from_bytes,
         "hashed": True,
     },
     "bloom": {
         "factory": lambda p: BloomFilter(p.get("n_bits", 1 << 20), p.get("n_hashes", 5)),
-        "update": lambda s, v: s.add_hashed(to_uint64(v)),
+        "update": _bloom_update,
         "decode": BloomFilter.from_bytes,
         "hashed": True,
     },
@@ -79,7 +97,19 @@ def sketch_agg(
     params = params or {}
     keys = list(by)
 
-    if spec["hashed"]:
+    # CMS is linear in counts, so duplicates collapse JVM-side first: a
+    # two-phase HashAggregate reduces the Arrow boundary from one row per
+    # input row to one row per distinct value — for Zipf token streams
+    # that's a 10^4-10^6x cut in what crosses into Python, and the shuffle
+    # moves only per-partition uniques (never worse than shipping rows).
+    pre_counted = kind == "cms" and params.get("pre_aggregate", True)
+    if pre_counted:
+        src = (
+            df.select(*keys, F.xxhash64(F.col(value_col)).alias(_VAL))
+            .groupBy(*keys, _VAL)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+    elif spec["hashed"]:
         src = df.select(*keys, F.xxhash64(F.col(value_col)).alias(_VAL))
     else:
         src = df.select(*keys, F.col(value_col).cast("double").alias(_VAL))
@@ -98,6 +128,7 @@ def sketch_agg(
         rows: dict[tuple, int] = {}
         for pdf in batches:
             v = pdf[_VAL].to_numpy()
+            cnt = pdf["__cnt"].to_numpy() if pre_counted else None
             if not keys:
                 groups = {(): np.arange(len(pdf))}
             else:
@@ -112,8 +143,12 @@ def sketch_agg(
                 if s is None:
                     s = acc[gk] = spec["factory"](params)
                     rows[gk] = 0
-                spec["update"](s, v[idx])
-                rows[gk] += len(idx)
+                if pre_counted:
+                    spec["update"](s, v[idx], cnt[idx])
+                    rows[gk] += int(cnt[idx].sum())
+                else:
+                    spec["update"](s, v[idx])
+                    rows[gk] += len(idx)
         if acc:
             out = {k: [gk[i] for gk in acc] for i, k in enumerate(keys)}
             out["sketch"] = [s.to_bytes() for s in acc.values()]
@@ -190,32 +225,53 @@ def heavy_hitters(
     k: int = 20,
     depth: int = 5,
     width: int = 8192,
-    candidates_per_partition: int = 200,
+    candidate_pool: int | None = None,
+    candidates: str = "jvm",
 ) -> DataFrame:
-    """Approximate top-k frequent values via count-min + per-partition
-    candidate generation: each partition nominates its local top
-    candidates (mapInPandas value_counts — no shuffle of raw rows), the
-    global CMS scores the union, top-k by estimated count. The CMS bounds
-    the overcount; candidates can only miss an item whose count is below
-    every partition's local top-C (SURVEY.md §2.2 'frequency')."""
+    """Approximate top-k frequent values: a candidate set is scored
+    against the global count-min sketch; top-k by estimated count.
+
+    Candidate generation (``candidates``):
+    - 'jvm' (default): two-phase HashAggregate count + orderBy/limit — the
+      map-side partial agg collapses per-partition duplicates before the
+      shuffle, so only per-partition *unique* values move; raw strings
+      never cross into Python. This is the 100 TB path.
+    - 'partition': each partition nominates its local top values via
+      pandas value_counts (mapInPandas). Bounded memory regardless of key
+      cardinality, at the cost of shipping the column through Arrow.
+
+    The CMS remains the persistable, mergeable frequency artifact either
+    way; its one-sided error bounds the reported counts
+    (SURVEY.md §2.2 'frequency')."""
     from pyspark.sql.types import StringType
 
     src = df.select(F.col(col).cast("string").alias(_VAL)).filter(
         F.col(_VAL).isNotNull()
     )
+    pool = candidate_pool or max(200, 10 * k)
 
-    def candidates_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counts: pd.Series | None = None
-        for pdf in batches:
-            c = pdf[_VAL].value_counts()
-            counts = c if counts is None else counts.add(c, fill_value=0)
-        if counts is not None:
-            top = counts.nlargest(candidates_per_partition)
-            yield pd.DataFrame({"value": top.index.astype(str)})
+    if candidates == "jvm":
+        cand = (
+            src.groupBy(_VAL)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .orderBy(F.desc("__n"), F.asc(_VAL))
+            .limit(pool)
+            .select(F.col(_VAL).alias("value"))
+        )
+    else:
 
-    cand = src.mapInPandas(
-        candidates_fn, schema=StructType([StructField("value", StringType())])
-    ).distinct()
+        def candidates_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            counts: pd.Series | None = None
+            for pdf in batches:
+                c = pdf[_VAL].value_counts()
+                counts = c if counts is None else counts.add(c, fill_value=0)
+            if counts is not None:
+                top = counts.nlargest(pool)
+                yield pd.DataFrame({"value": top.index.astype(str)})
+
+        cand = src.mapInPandas(
+            candidates_fn, schema=StructType([StructField("value", StringType())])
+        ).distinct()
 
     cms_df = sketch_agg(src, _VAL, kind="cms", params={"depth": depth, "width": width})
     sketch_blob = cms_df.select("sketch")

@@ -1,0 +1,104 @@
+"""The spark-submit job used for the two-cluster-size scaling evidence
+(BASELINE.json north rule; sandbox protocol in SURVEY.md §6).
+
+Usage:
+    spark-submit --master local[N] --py-files /tmp/js_hll_spark_pkg.zip \
+        tools/scaling_job.py <input_parquet> <cores>
+
+Runs the flagship workload — NDV(url) global + per lang + per day, heavy
+hitter tokens — on the SAME pre-generated input at whatever parallelism
+the master provides, and prints one JSON line with wall time and docs/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def main(input_path: str, cores: int) -> None:
+    spark = (
+        SparkSession.builder.appName(f"scaling-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(8, cores)))
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from js_hll_spark.spark.agg import hll_ndv, hll_sketch
+    from js_hll_spark.spark.sketch_agg import heavy_hitters
+
+    pages = spark.read.parquet(input_path)
+    n_rows = pages.count()
+
+    def run_ndv():
+        return hll_ndv(pages, "url", log2m=13).first()["ndv"]
+
+    def run_grouped():
+        hll_sketch(
+            pages.withColumn("day", F.to_date("warc_ts")),
+            "url",
+            by=["lang", "day"],
+            log2m=13,
+        ).collect()
+
+    def run_tokens():
+        heavy_hitters(
+            pages.select(F.explode(F.split(F.lower("text"), " ")).alias("tok")),
+            "tok",
+            k=20,
+            width=16384,
+        ).collect()
+
+    # one untimed warm-up per phase on a small slice: JIT + python-worker
+    # daemon startup is per-JVM fixed cost, not throughput — a real cluster
+    # job amortizes it over hours
+    warm = spark.read.parquet(input_path).limit(200_000).cache()
+    warm.count()
+    hll_ndv(warm, "url", log2m=13).first()
+    hll_sketch(warm.withColumn("day", F.to_date("warc_ts")), "url",
+               by=["lang", "day"], log2m=13).collect()
+    heavy_hitters(
+        warm.select(F.explode(F.split(F.lower("text"), " ")).alias("tok")),
+        "tok", k=20, width=16384).collect()
+    warm.unpersist()
+
+    t0 = time.perf_counter()
+    ndv_global = run_ndv()
+    t_ndv = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    run_grouped()
+    t_grouped = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    run_tokens()
+    t_tokens = time.perf_counter() - t0
+
+    total = t_ndv + t_grouped + t_tokens
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "rows": n_rows,
+                "ndv_global": ndv_global,
+                "t_ndv": round(t_ndv, 3),
+                "t_grouped": round(t_grouped, 3),
+                "t_tokens": round(t_tokens, 3),
+                "t_total": round(total, 3),
+                "docs_per_sec": round(n_rows / total, 1),
+                "docs_per_sec_ndv": round(n_rows / t_ndv, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], int(sys.argv[2]))
