@@ -73,6 +73,79 @@ def minhash_signature(col, k: int = 16, shingle_n: int = 3):
     )
 
 
+def dedup_keep_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The deduplicated table itself: keep the smallest-id row per
+    normalized-text fingerprint (left-semi join back against the winner
+    set — only (fp, keep_id) pairs shuffle, never full rows)."""
+    winners = dedup_exact(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(winners, id_col, "left_semi")
+
+
+def minhash_signature_fast(col, k: int = 16, shingle_n: int = 3):
+    """Throughput variant of minhash_signature: permutation j = min over
+    shingles of xxhash64(j, shingle) — one 64-bit hash per (permutation,
+    shingle), entirely in whole-stage codegen (~20x cheaper than k md5s).
+    Not DuckDB-reproducible (xxhash64 is Spark-specific), so queries built
+    on it register rows-only; candidate quality is asserted against the
+    md5 variant in pytest."""
+    sh = shingles(col, shingle_n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(F.lit(j), s)))
+            for j in range(k)
+        ]
+    )
+
+
+def minhash_lsh_candidates_fast(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """minhash_lsh_candidates with the xxhash64 signature — the 100 TB
+    path. Same plan shape: explode shingles -> k map-side min-aggs ->
+    band equi-join."""
+    rows_per_band = k // bands
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    )
+    sig = ex.groupBy("__id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(j), F.col("__sh"))).alias(f"__mh{j}")
+            for j in range(k)
+        ]
+    )
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"__mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "__id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",

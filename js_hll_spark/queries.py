@@ -378,6 +378,98 @@ WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
 """
 
 
+def q_dedup_keep_rows(spark, sf_dir):
+    return dedup.dedup_keep_rows(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+SQL_DEDUP_KEEP_ROWS = f"""
+WITH fp AS (
+  SELECT doc_id, md5(array_to_string({_SQL_TOKS}, ' ')) AS f FROM documents
+), winners AS (
+  SELECT min(doc_id) AS doc_id FROM fp GROUP BY f
+)
+SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+JOIN winners w ON d.doc_id = w.doc_id
+"""
+
+
+def q_minhash_lsh_fast(spark, sf_dir):
+    # rows-only: xxhash64 signatures are Spark-specific; candidate-set
+    # quality vs the md5 variant is asserted in pytest
+    return dedup.minhash_lsh_candidates_fast(
+        _t(spark, sf_dir, "documents"), k=8, bands=4, shingle_n=3
+    )
+
+
+def q_user_overlap_exact(spark, sf_dir):
+    """Exact twin of sketch intersection: distinct users doing both
+    'click' and 'purchase'."""
+    events = _t(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "click").select("user_id")
+    b = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return (
+        a.intersect(b)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+SQL_USER_OVERLAP = """
+SELECT count(*) AS n_overlap FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+"""
+
+
+def q_hll_intersection(spark, sf_dir):
+    """Sketch-side |A ∩ B| by inclusion-exclusion (README.markdown:62-69)
+    — rows-only; error proportional to the union's cardinality."""
+    _ship(spark)
+    events = _t(spark, sf_dir, "events")
+    a = hll_sketch(
+        events.filter(F.col("event_type") == "click"), "user_id", log2m=13
+    ).select(F.col("sketch").alias("a"), F.col("ndv").alias("ndv_a"))
+    b = hll_sketch(
+        events.filter(F.col("event_type") == "purchase"), "user_id", log2m=13
+    ).select(F.col("sketch").alias("b"), F.col("ndv").alias("ndv_b"))
+    from .spark.functions import hll_cardinality_udf, hll_union_pair_udf
+
+    return a.crossJoin(b).select(
+        F.round(
+            F.col("ndv_a")
+            + F.col("ndv_b")
+            - hll_cardinality_udf(hll_union_pair_udf("a", "b")),
+            2,
+        ).alias("n_overlap_est")
+    )
+
+
+def q_hll_interop_hex(spark, sf_dir):
+    """Round-trip sketches through postgresql-hll hex strings — the
+    interop surface (rows-only; byte fidelity asserted in pytest)."""
+    _ship(spark)
+    from .spark.functions import (
+        hll_cardinality_udf,
+        hll_from_hex_udf,
+        hll_to_hex_udf,
+    )
+
+    sk = hll_sketch(
+        _t(spark, sf_dir, "documents"), "text", by=["lang"], log2m=11
+    )
+    return sk.select(
+        "lang",
+        hll_to_hex_udf("sketch").alias("hex"),
+        F.round(
+            hll_cardinality_udf(hll_from_hex_udf(hll_to_hex_udf("sketch"))), 2
+        ).alias("ndv_roundtrip"),
+    )
+
+
 def q_simhash_signatures(spark, sf_dir):
     # rows-only: xxhash64 does not exist in DuckDB
     return dedup.simhash_signatures(_t(spark, sf_dir, "documents"))
@@ -594,7 +686,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "lang_id": q_lang_id,
     "dedup_exact": q_dedup_exact,
+    "dedup_keep_rows": q_dedup_keep_rows,
     "minhash_lsh": q_minhash_lsh,
+    "minhash_lsh_fast": q_minhash_lsh_fast,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_signatures": q_simhash_signatures,
     "ann_bruteforce": q_ann_bruteforce,
@@ -604,6 +698,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantiles_kll": q_quantiles_kll,
     "quantiles_tdigest": q_quantiles_tdigest,
     "semijoin_membership": q_semijoin_membership,
+    "user_overlap_exact": q_user_overlap_exact,
+    "hll_intersection": q_hll_intersection,
+    "hll_interop_hex": q_hll_interop_hex,
     "bloom_membership": q_bloom_membership,
     "hll_ndv_global": q_hll_ndv_global,
     "hll_ndv_by_lang": q_hll_ndv_by_lang,
@@ -626,9 +723,11 @@ ORACLES: dict[str, str] = {
     "fingerprint": SQL_FINGERPRINT,
     "lang_id": SQL_LANG_ID,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_keep_rows": SQL_DEDUP_KEEP_ROWS,
     "minhash_lsh": SQL_MINHASH_LSH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "ann_bruteforce": SQL_ANN,
     "heavy_hitters_exact": SQL_HEAVY_HITTERS,
     "semijoin_membership": SQL_SEMIJOIN,
+    "user_overlap_exact": SQL_USER_OVERLAP,
 }

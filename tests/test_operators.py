@@ -1,0 +1,125 @@
+"""Operator tests: dedup tiers (recall/precision against the webtext
+construction-time duplicate ground truth), ANN recall vs brute force,
+text operators, simhash Hamming properties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from js_hll_spark.operators import ann, dedup, text
+from js_hll_spark.sources.webtext import webtext_table
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return webtext_table(spark, 4000, partitions=4).cache()
+
+
+def true_dup_pairs(pages):
+    """Ground truth: rows sharing a url are exact duplicates (identical
+    text by construction)."""
+    a = pages.select(F.col("row_id").alias("id_a"), "url")
+    b = pages.select(F.col("row_id").alias("id_b"), "url")
+    return (
+        a.join(b, "url")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
+def test_dedup_exact_matches_ground_truth(spark, pages):
+    n_urls = pages.select("url").distinct().count()
+    kept = dedup.dedup_keep_rows(pages, "text", "row_id")
+    # exact duplicates share text; distinct texts == distinct urls here
+    assert kept.count() == pages.select("text").distinct().count()
+    assert kept.count() <= n_urls
+
+
+def test_minhash_lsh_finds_exact_dups(spark, pages):
+    """Exact duplicates have identical shingle sets -> identical
+    signatures -> must share every band: recall on true dups is 1.0."""
+    truth = true_dup_pairs(pages)
+    n_truth = truth.count()
+    cand = dedup.minhash_lsh_candidates(pages, "text", "row_id", k=8, bands=4)
+    found = truth.join(cand, ["id_a", "id_b"], "left_semi").count()
+    assert found == n_truth
+
+
+def test_minhash_fast_agrees_with_md5_variant(spark, pages):
+    """Different hash family, same guarantee: exact dups always collide.
+    Candidate sets may differ on near-misses but both contain all truth."""
+    truth = true_dup_pairs(pages)
+    n_truth = truth.count()
+    fast = dedup.minhash_lsh_candidates_fast(pages, "text", "row_id", k=8, bands=4)
+    assert truth.join(fast, ["id_a", "id_b"], "left_semi").count() == n_truth
+
+
+def test_simhash_identical_docs_same_signature(spark, pages):
+    sigs = dedup.simhash_signatures(pages, "text", "row_id")
+    joined = sigs.join(pages.select(F.col("row_id").alias("doc_id"), "url"), "doc_id")
+    variants = (
+        joined.groupBy("url")
+        .agg(F.countDistinct("simhash").alias("v"))
+        .filter(F.col("v") > 1)
+        .count()
+    )
+    assert variants == 0
+
+
+def test_simhash_candidates_cover_exact_dups(spark, pages):
+    sigs = dedup.simhash_signatures(pages, "text", "row_id")
+    cand = dedup.simhash_candidates(sigs)
+    truth = true_dup_pairs(pages)
+    assert truth.join(cand, ["id_a", "id_b"], "left_semi").count() == truth.count()
+
+
+def test_ngram_jaccard_exact_dups_score_one(spark, pages):
+    sample = pages.limit(600)
+    truth = true_dup_pairs(sample)
+    jac = dedup.ngram_jaccard(sample, text_col="text", id_col="row_id")
+    scored = truth.join(jac, ["id_a", "id_b"], "inner")
+    assert scored.count() == truth.count()
+    assert scored.filter(F.col("jaccard") < 1.0).count() == 0
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+        .cache()
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = ann.ann_bruteforce(emb, queries, k=5)
+    approx = ann.ann_lsh(emb, queries, k=5, bits=4)
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    assert hits / exact.count() > 0.3  # 4-bit buckets: partial recall by design
+    # near-dup pairs are symmetric and above threshold
+    nd = ann.embedding_near_dups(emb, threshold=0.5, bits=4)
+    assert nd.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the hat is on a mat"),
+            (2, "der hund und die katze ist hier"),
+            (3, "le chat et la maison est grande"),
+            (4, "xyzzy plugh foobar"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["p"] for r in df.select("doc_id", text.lang_id("text").alias("p")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_quality_score_ordering(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the data of the model is in the corpus and it is good " * 8),
+            (2, "!!! ??? ### $$$"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["q"] for r in df.select("doc_id", text.quality_score("text").alias("q")).collect()}
+    assert got[1] > got[2]

@@ -69,17 +69,18 @@ def main(input_path: str, cores: int) -> None:
         "tok", k=20, width=16384).collect()
     warm.unpersist()
 
-    t0 = time.perf_counter()
+    def median3(fn):
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        return sorted(times)[1]
+
     ndv_global = run_ndv()
-    t_ndv = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    run_grouped()
-    t_grouped = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    run_tokens()
-    t_tokens = time.perf_counter() - t0
+    t_ndv = median3(run_ndv)
+    t_grouped = median3(run_grouped)
+    t_tokens = median3(run_tokens)
 
     total = t_ndv + t_grouped + t_tokens
     print(
