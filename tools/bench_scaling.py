@@ -76,8 +76,7 @@ N=2 -> 4N=8 is used (rather than 8 -> 32) because the container's
 all-core clock scaling caps even a pure-CPU multiprocessing benchmark at
 ~3.0x from 8 to 32 workers (0.76 ceiling) — the 2 -> 8 range is where the
 hardware itself can express >=0.8 efficiency, so it is the honest test of
-the SOFTWARE's scaling. Raw 8 -> 32 numbers are included below for
-completeness.
+the SOFTWARE's scaling.
 
 Generated {stamp} on a 32-core container.
 
@@ -91,7 +90,7 @@ Generated {stamp} on a 32-core container.
 | docs/sec (full workload) | {r8['docs_per_sec']:,.0f} | {r32['docs_per_sec']:,.0f} | | |
 
 Input: {r8['rows']:,} CC-style pages (deterministic generator,
-`js_hll_spark.sources.webtext`, seed 42), 64 parquet files.
+`js_hll_spark.sources.webtext`, seed 42), 128 parquet files.
 
 Raw results:
 
