@@ -38,6 +38,10 @@ def main() -> None:
     )
     n_rows = lineitem.count()  # also warms the cache
 
+    # untimed warm-up: first query in a fresh JVM pays JIT + python-worker
+    # startup (~2-3 s fixed); throughput numbers should not include it
+    hll_ndv(lineitem.limit(50_000), "l_orderkey", log2m=10).collect()
+
     def timed(fn):
         t0 = time.perf_counter()
         fn()
@@ -92,12 +96,12 @@ def main() -> None:
             print(f"bench {name} failed: {e}", file=sys.stderr)
             results[name] = -1.0
 
-    flagship = results["hll_ndv_global"]
-    docs_per_sec = n_rows / flagship if flagship > 0 else 0.0
+    flagship = results["webtext_ndv_url"]
+    docs_per_sec = n_pages / flagship if flagship > 0 else 0.0
     print(
         json.dumps(
             {
-                "metric": "NDV(url-surrogate) throughput docs/sec, flagship hll_ndv_global",
+                "metric": "flagship NDV(url) throughput docs/sec on the CC-style webtext table",
                 "value": round(docs_per_sec, 1),
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in results.items()},
