@@ -159,6 +159,27 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
 """
 
 
+def q_join_anti(spark, sf_dir):
+    """Customers with no orders (left anti join, broadcast right)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        customer.join(
+            F.broadcast(orders.select("o_custkey")),
+            customer.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_orderless"))
+    )
+
+
+SQL_JOIN_ANTI = """
+SELECT count(*) AS n_orderless FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
 def q_setop_union(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     en = docs.filter(F.col("lang") == "en").select("doc_id", "lang")
@@ -674,6 +695,7 @@ def q_bloom_membership(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_filter_project": q_scan_filter_project,
     "join_broadcast_agg": q_join_broadcast_agg,
+    "join_anti": q_join_anti,
     "exact_ndv_by_lang": q_exact_ndv_by_lang,
     "rollup_counts": q_rollup_counts,
     "window_topk": q_window_topk,
@@ -711,6 +733,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "scan_filter_project": SQL_SCAN,
     "join_broadcast_agg": SQL_JOIN,
+    "join_anti": SQL_JOIN_ANTI,
     "exact_ndv_by_lang": SQL_EXACT_NDV,
     "rollup_counts": SQL_ROLLUP,
     "window_topk": SQL_WINDOW_TOPK,
