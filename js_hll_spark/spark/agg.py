@@ -68,11 +68,23 @@ def _partial_schema(key_fields: list[StructField]) -> StructType:
     )
 
 
-def _make_partial_fn(keys: Sequence[str], config: HLLConfig, hash_in_python: bool):
+def _make_partial_fn(
+    keys: Sequence[str],
+    config: HLLConfig,
+    hash_in_python: bool,
+    memory_budget_bytes: int = 256 << 20,
+):
     """mapInPandas function: stream Arrow batches, keep one register file
-    per key for the whole partition, emit once at iterator exhaustion."""
+    per key for the whole partition, emit at iterator exhaustion.
+
+    Spill-aware: when the partial state (m bytes per live key) exceeds
+    ``memory_budget_bytes`` — possible with very high-cardinality group
+    keys — the accumulated partials are flushed as output rows and the
+    dict reset. Duplicated (partition, key) partial rows are harmless:
+    the merge stage max-reduces them (union monoid)."""
 
     m = config.m
+    max_keys = max(1, memory_budget_bytes // m)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -80,7 +92,18 @@ def _make_partial_fn(keys: Sequence[str], config: HLLConfig, hash_in_python: boo
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
         regs: dict[tuple, np.ndarray] = {}
         rows: dict[tuple, int] = {}
-        keyvals: dict[tuple, tuple] = {}
+
+        def flush() -> pd.DataFrame:
+            out = {}
+            for i, k in enumerate(keys):
+                out[k] = [gk[i] for gk in regs]
+            out[_PID_COL] = [pid] * len(regs)
+            out[_SKETCH_COL] = [r.tobytes() for r in regs.values()]
+            out[_ROWS_COL] = [rows[gk] for gk in regs]
+            regs.clear()
+            rows.clear()
+            return pd.DataFrame(out)
+
         for pdf in batches:
             h = to_uint64(pdf[_HASH_COL].to_numpy())
             if hash_in_python:
@@ -90,7 +113,6 @@ def _make_partial_fn(keys: Sequence[str], config: HLLConfig, hash_in_python: boo
                 if r is None:
                     r = regs[()] = np.zeros(m, dtype=np.uint8)
                     rows[()] = 0
-                    keyvals[()] = ()
                 update_registers(r, h, config)
                 rows[()] += len(pdf)
                 continue
@@ -101,17 +123,12 @@ def _make_partial_fn(keys: Sequence[str], config: HLLConfig, hash_in_python: boo
                 if r is None:
                     r = regs[gk] = np.zeros(m, dtype=np.uint8)
                     rows[gk] = 0
-                    keyvals[gk] = gk
                 update_registers(r, h[idx], config)
                 rows[gk] += len(idx)
+            if len(regs) > max_keys:
+                yield flush()
         if regs:
-            out = {}
-            for i, k in enumerate(keys):
-                out[k] = [keyvals[gk][i] for gk in regs]
-            out[_PID_COL] = [pid] * len(regs)
-            out[_SKETCH_COL] = [r.tobytes() for r in regs.values()]
-            out[_ROWS_COL] = [rows[gk] for gk in regs]
-            yield pd.DataFrame(out)
+            yield flush()
 
     return fn
 
@@ -174,6 +191,7 @@ def hll_sketch(
     tree_fanin: int | None = None,
     estimate: bool = True,
     keep_sketch: bool = True,
+    memory_budget_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Sketch ``value_col`` per group. Returns one row per group with a
     spec-encoded ``sketch`` column, an ``ndv`` estimate and ``rows_seen``.
@@ -197,7 +215,7 @@ def hll_sketch(
 
     key_fields = [hashed.schema[k] for k in keys]
     partials = hashed.mapInPandas(
-        _make_partial_fn(keys, config, hash_in_python),
+        _make_partial_fn(keys, config, hash_in_python, memory_budget_bytes),
         schema=_partial_schema(key_fields),
     )
 

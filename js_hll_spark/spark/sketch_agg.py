@@ -87,11 +87,15 @@ def sketch_agg(
     params: dict | None = None,
     finalize: Callable[[object], dict] | None = None,
     finalize_schema: list[StructField] | None = None,
+    memory_budget_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Aggregate ``value_col`` into one ``kind`` sketch per group.
 
     Returns (keys..., sketch binary, rows_seen long, *finalize columns).
     ``finalize(sketch) -> {col: value}`` runs once per merged group.
+
+    Spill-aware: partial state flushes to output rows when it exceeds
+    ``memory_budget_bytes`` (the merge stage re-reduces duplicates).
     """
     spec = _KINDS[kind]
     params = params or {}
@@ -126,6 +130,19 @@ def sketch_agg(
     def partial_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[tuple, object] = {}
         rows: dict[tuple, int] = {}
+        sketch_size: list[int] = []  # measured from the first to_bytes
+
+        def flush() -> pd.DataFrame:
+            out = {k: [gk[i] for gk in acc] for i, k in enumerate(keys)}
+            blobs = [s.to_bytes() for s in acc.values()]
+            if not sketch_size and blobs:
+                sketch_size.append(len(blobs[0]))
+            out["sketch"] = blobs
+            out["rows_seen"] = [rows[gk] for gk in acc]
+            acc.clear()
+            rows.clear()
+            return pd.DataFrame(out)
+
         for pdf in batches:
             v = pdf[_VAL].to_numpy()
             cnt = pdf["__cnt"].to_numpy() if pre_counted else None
@@ -149,11 +166,13 @@ def sketch_agg(
                 else:
                     spec["update"](s, v[idx])
                     rows[gk] += len(idx)
+            if sketch_size and len(acc) * sketch_size[0] > memory_budget_bytes:
+                yield flush()
+            elif not sketch_size and len(acc) > 4096:
+                # no size sample yet: bound key count until the first flush
+                yield flush()
         if acc:
-            out = {k: [gk[i] for gk in acc] for i, k in enumerate(keys)}
-            out["sketch"] = [s.to_bytes() for s in acc.values()]
-            out["rows_seen"] = [rows[gk] for gk in acc]
-            yield pd.DataFrame(out)
+            yield flush()
 
     partials = src.mapInPandas(partial_fn, schema=partial_schema)
 

@@ -125,3 +125,41 @@ def test_murmur3_hash_method(spark, events):
     exact = events.select(F.countDistinct("user_id")).first()[0]
     est = hll_ndv(events, "user_id", log2m=12, hash_method="murmur3").first()["ndv"]
     assert abs(est - exact) / exact < 3 * BOUND(12)
+
+
+def test_memory_budget_flush_identical(spark, events):
+    """Forcing partial-state flushes (tiny memory budget -> many partial
+    rows per key) must produce bit-identical merged sketches."""
+    normal = {
+        r["event_type"]: bytes(r["sketch"])
+        for r in hll_sketch(events, "user_id", by=["event_type"], log2m=12).collect()
+    }
+    # budget of one register file -> flush after every batch
+    tiny = {
+        r["event_type"]: bytes(r["sketch"])
+        for r in hll_sketch(
+            events, "user_id", by=["event_type"], log2m=12,
+            memory_budget_bytes=1,
+        ).collect()
+    }
+    assert normal == tiny
+
+
+def test_high_cardinality_group_keys(spark, events):
+    """Group by a ~unique key (user_id x event_type): partial state must
+    flush within budget and estimates stay exact-ish for tiny groups."""
+    out = hll_sketch(
+        events, "event_id", by=["user_id"], log2m=10,
+        memory_budget_bytes=64 << 10,  # ~64 keys of 1 KiB live at once
+    )
+    rows = out.collect()
+    import pyspark.sql.functions as F
+    exact = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id")
+        .agg(F.countDistinct("event_id").alias("n"))
+        .collect()
+    }
+    assert len(rows) == len(exact)
+    for r in rows:
+        assert abs(r["ndv"] - exact[r["user_id"]]) / max(exact[r["user_id"]], 1) < 0.2
