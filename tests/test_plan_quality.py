@@ -1,0 +1,68 @@
+"""Plan-quality regression guards: assert the physical plans stay the
+plans we want — pruned scans, pushed filters, partition pruning, JVM-side
+hashing before the Arrow boundary, sketch-only shuffles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from js_hll_spark.sources.catalog import read_pages, write_pages_table
+from js_hll_spark.sources.webtext import webtext_table
+from js_hll_spark.spark.agg import hll_sketch
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_ndv_scan_prunes_columns(spark, lineitem, tmp_path):
+    path = str(tmp_path / "li")
+    lineitem.write.parquet(path)
+    df = spark.read.parquet(path)
+    p = plan(hll_sketch(df, "l_partkey", by=["l_returnflag"], log2m=12))
+    # the scan must read only the two needed columns of the 11
+    assert "ReadSchema: struct<l_partkey:bigint,l_returnflag:string>" in p
+    # the hash is computed JVM-side before MapInPandas
+    assert "xxhash64" in p
+    assert p.index("xxhash64") > p.index("MapInPandas") or "Project [l_returnflag" in p
+
+
+def test_filter_pushdown_reaches_scan(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    path = str(tmp_path / "docs")
+    docs.write.parquet(path)
+    df = spark.read.parquet(path).filter(F.col("lang") == "en").select("doc_id")
+    p = plan(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in p
+    assert "ReadSchema: struct<doc_id:bigint" in p
+
+
+def test_partition_pruning_on_pages_table(spark, tmp_path):
+    pages = webtext_table(spark, 3000, partitions=2)
+    path = str(tmp_path / "pages")
+    write_pages_table(pages, path)
+    pruned = read_pages(spark, path, langs=["de"])
+    p = plan(pruned.select("url"))
+    # lang is a partition column: the filter appears as PartitionFilters,
+    # and unselected partitions are never listed in the scan
+    assert "PartitionFilters" in p and "lang" in p.split("PartitionFilters")[1][:200]
+    assert pruned.count() == pages.filter(F.col("lang") == "de").count()
+
+
+def test_broadcast_join_is_broadcast(spark):
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    customer = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    j = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    assert "BroadcastHashJoin" in plan(j)
+
+
+def test_merge_shuffle_carries_sketches_not_rows(spark, events):
+    """The only Exchange in the NDV plan sits above MapInPandas — i.e.
+    it shuffles partial sketches, never raw rows."""
+    p = plan(hll_sketch(events, "user_id", by=["event_type"], log2m=12))
+    assert p.count("Exchange") == 1
+    assert p.index("Exchange") < p.index("MapInPandas")  # plans print top-down

@@ -77,3 +77,58 @@ def test_streaming_windowed_ndv(spark, events, tmp_path):
         .first()["s"]
     )
     assert total_rows == events.count()
+
+
+def test_stateful_streaming_ndv(spark, events, tmp_path):
+    """applyInPandasWithState variant: per-window NDV maintained in the
+    state store; final update-mode rows match batch exact within bound."""
+    from js_hll_spark.streaming.stateful import stateful_streaming_ndv
+
+    src_dir = str(tmp_path / "state_src")
+    ev = events.withColumn("__bucket", F.pmod(F.col("event_id"), F.lit(3)))
+    for i in range(3):
+        ev.filter(F.col("__bucket") == i).drop("__bucket").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = stateful_streaming_ndv(
+        stream, "user_id", ts_col="ts", window="6 hours", watermark="24 hours",
+        log2m=12,
+    )
+    sink = str(tmp_path / "state_sink")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ndv_state_test")
+        .outputMode("update")
+        .option("checkpointLocation", sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # last update per window wins
+    rows = spark.sql(
+        "select * from ndv_state_test"
+    ).collect()
+    latest = {}
+    for r in rows:
+        latest[r["window_start"]] = (r["ndv"], r["rows_seen"])
+    exact = {
+        r["w"]["start"]: r["n"]
+        for r in events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(latest) == set(exact)
+    bound = 3 * 1.04 / math.sqrt(2 ** 12)
+    for w, n in exact.items():
+        assert abs(latest[w][0] - n) / max(n, 1) < max(bound, 0.2)
+    total_rows = sum(v[1] for v in latest.values())
+    assert total_rows == events.count()
