@@ -135,6 +135,11 @@ def decode(data: bytes) -> HLL:
         words = _unpack_words(body, bits_per_word, n_words)
         idx = (words >> np.uint64(cfg.regwidth)).astype(np.int64)
         val = (words & np.uint64(cfg.max_register_value)).astype(np.uint8)
+        # drop zero-valued words: a real encoder never writes them, and
+        # when bits_per_word does not divide the padded body the trailing
+        # zero padding would otherwise decode as a phantom (0, 0) word
+        keep = val != 0
+        idx, val = idx[keep], val[keep]
         out._explicit = None
         # last-write-wins on duplicate indexes (src/hll.js:693-696)
         out._sparse = dict(zip(idx.tolist(), val.tolist()))
