@@ -192,16 +192,38 @@ def hll_sketch(
     estimate: bool = True,
     keep_sketch: bool = True,
     memory_budget_bytes: int = 256 << 20,
+    engine: str = "auto",
 ) -> DataFrame:
     """Sketch ``value_col`` per group. Returns one row per group with a
     spec-encoded ``sketch`` column, an ``ndv`` estimate and ``rows_seen``.
 
     ``hash_method``: 'xxhash64' (JVM, default) or 'murmur3' (AK
-    convention, numpy-vectorized over the xxhash? no — over the raw value
-    cast to int64; only valid for integral value columns).
+    convention, numpy-vectorized in the worker; only valid for integral
+    value columns).
+
+    ``engine``: 'sql' computes registers inside Catalyst (hll_sketch_sql
+    — fastest, default for xxhash64); 'python' uses the mapInPandas
+    partial harness (required for murmur3, supports tree_fanin and the
+    memory budget). 'auto' picks by hash_method. Both engines produce
+    bit-identical sketches.
     """
     config = HLLConfig(log2m, regwidth)
     keys = list(by)
+
+    if engine == "auto":
+        engine = "sql" if hash_method == "xxhash64" else "python"
+    if engine == "sql":
+        if hash_method != "xxhash64":
+            raise ValueError("engine='sql' supports only xxhash64")
+        return hll_sketch_sql(
+            df,
+            value_col,
+            by,
+            log2m=log2m,
+            regwidth=regwidth,
+            estimate=estimate,
+            keep_sketch=keep_sketch,
+        )
 
     hash_in_python = hash_method == "murmur3"
     if hash_in_python:
@@ -260,6 +282,75 @@ def hll_sketch(
         return partials.groupBy(*keys).applyInPandas(merge_fn, schema=schema)
     return partials.groupBy(F.lit(1).alias("__g")).applyInPandas(
         lambda pdf: merge_fn(pdf), schema=schema
+    )
+
+
+def hll_sketch_sql(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    *,
+    log2m: int = 13,
+    regwidth: int = 5,
+    estimate: bool = True,
+    keep_sketch: bool = True,
+) -> DataFrame:
+    """All-JVM variant of hll_sketch: the register file is computed by
+    Catalyst itself as ``groupBy(keys, register_index).agg(max(rho))``
+    with rho = 1 + ctz(h >> log2m) expressed via ``bit_count`` — the
+    whole per-row path stays inside whole-stage codegen and the partial
+    HashAggregate collapses each partition to <= m rows per key before
+    the shuffle. Python sees only <= m (index, value) rows per group, to
+    assemble registers and run the estimator once.
+
+    Trade-off vs the mapInPandas harness: no Arrow transfer of raw
+    hashes (wins when rows >> m x partitions), but the shuffle carries
+    up to m rows per (key, partition) instead of one ~m-byte blob.
+    Results are bit-identical between the two paths (tested).
+    """
+    config = HLLConfig(log2m, regwidth)
+    keys = list(by)
+
+    h = F.xxhash64(F.col(value_col))
+    idx = h.bitwiseAND(F.lit(config.register_index_mask)).alias("__idx")
+    w = F.shiftrightunsigned(h, config.log2m)
+    # ctz(w) = bit_count(~w & (w - 1)); rho = min(maxreg, ctz + 1), 0 if w=0
+    ctz = F.bit_count(F.bitwise_not(w).bitwiseAND(w - F.lit(1)))
+    rho = (
+        F.when(w == 0, F.lit(0))
+        .otherwise(F.least(F.lit(config.max_register_value), ctz + F.lit(1)))
+        .alias("__rho")
+    )
+    per_register = (
+        df.select(*keys, idx, rho)
+        .groupBy(*keys, "__idx")
+        .agg(F.max("__rho").alias("__val"), F.count(F.lit(1)).alias("__n"))
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(config.m, dtype=np.uint8)
+        regs[pdf["__idx"].to_numpy()] = pdf["__val"].to_numpy()
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        if keep_sketch:
+            s = HLL(config, explicit_threshold=0, sparse_on=False)
+            s._regs = regs
+            out[_SKETCH_COL] = [s.to_bytes()]
+        if estimate:
+            out["ndv"] = [estimate_from_registers(regs, config)]
+        out[_ROWS_COL] = [int(pdf["__n"].sum())]
+        return pd.DataFrame(out)
+
+    fields = [df.schema[k] for k in keys]
+    if keep_sketch:
+        fields.append(StructField(_SKETCH_COL, BinaryType(), False))
+    if estimate:
+        fields.append(StructField("ndv", DoubleType(), False))
+    fields.append(StructField(_ROWS_COL, LongType(), False))
+    schema = StructType(fields)
+    if keys:
+        return per_register.groupBy(*keys).applyInPandas(assemble, schema=schema)
+    return per_register.groupBy(F.lit(1).alias("__g")).applyInPandas(
+        lambda pdf: assemble(pdf), schema=schema
     )
 
 

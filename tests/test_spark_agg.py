@@ -46,16 +46,36 @@ def test_grouped_ndv_matches_exact(spark, events):
 
 def test_partition_order_invariance_spark(spark, documents):
     """Bit-identical merged sketch regardless of partitioning (the
-    BASELINE merge clause, at the DataFrame level)."""
-    a = hll_sketch(documents, "text", log2m=11).first()["sketch"]
-    shuffled = documents.repartition(16, "doc_id")
-    b = hll_sketch(shuffled, "text", log2m=11).first()["sketch"]
-    assert bytes(a) == bytes(b)
+    BASELINE merge clause, at the DataFrame level) — both engines."""
+    for engine in ("python", "sql"):
+        a = hll_sketch(documents, "text", log2m=11, engine=engine).first()["sketch"]
+        shuffled = documents.repartition(16, "doc_id")
+        b = hll_sketch(shuffled, "text", log2m=11, engine=engine).first()["sketch"]
+        assert bytes(a) == bytes(b), engine
+
+
+def test_engines_bit_identical(spark, events):
+    """The Catalyst-registers engine and the mapInPandas engine produce
+    byte-identical sketches, estimates and rows_seen."""
+    cols = ["event_type", "sketch", "ndv", "rows_seen"]
+    py = {
+        r["event_type"]: (bytes(r["sketch"]), r["ndv"], r["rows_seen"])
+        for r in hll_sketch(
+            events, "user_id", by=["event_type"], log2m=12, engine="python"
+        ).select(cols).collect()
+    }
+    sql = {
+        r["event_type"]: (bytes(r["sketch"]), r["ndv"], r["rows_seen"])
+        for r in hll_sketch(
+            events, "user_id", by=["event_type"], log2m=12, engine="sql"
+        ).select(cols).collect()
+    }
+    assert py == sql
 
 
 def test_tree_merge_equals_flat(spark, events):
-    flat = hll_sketch(events, "user_id", log2m=11, tree_fanin=0).first()
-    tree = hll_sketch(events, "user_id", log2m=11, tree_fanin=3).first()
+    flat = hll_sketch(events, "user_id", log2m=11, tree_fanin=0, engine="python").first()
+    tree = hll_sketch(events, "user_id", log2m=11, tree_fanin=3, engine="python").first()
     assert bytes(flat["sketch"]) == bytes(tree["sketch"])
     assert flat["ndv"] == tree["ndv"]
 
@@ -139,7 +159,7 @@ def test_memory_budget_flush_identical(spark, events):
         r["event_type"]: bytes(r["sketch"])
         for r in hll_sketch(
             events, "user_id", by=["event_type"], log2m=12,
-            memory_budget_bytes=1,
+            memory_budget_bytes=1, engine="python",
         ).collect()
     }
     assert normal == tiny
@@ -151,6 +171,7 @@ def test_high_cardinality_group_keys(spark, events):
     out = hll_sketch(
         events, "event_id", by=["user_id"], log2m=10,
         memory_budget_bytes=64 << 10,  # ~64 keys of 1 KiB live at once
+        engine="python",
     )
     rows = out.collect()
     import pyspark.sql.functions as F
