@@ -23,12 +23,14 @@ def test_ndv_scan_prunes_columns(spark, lineitem, tmp_path):
     path = str(tmp_path / "li")
     lineitem.write.parquet(path)
     df = spark.read.parquet(path)
-    p = plan(hll_sketch(df, "l_partkey", by=["l_returnflag"], log2m=12))
-    # the scan must read only the two needed columns of the 11
-    assert "ReadSchema: struct<l_partkey:bigint,l_returnflag:string>" in p
-    # the hash is computed JVM-side before MapInPandas
-    assert "xxhash64" in p
-    assert p.index("xxhash64") > p.index("MapInPandas") or "Project [l_returnflag" in p
+    for engine in ("python", "sql"):
+        p = plan(
+            hll_sketch(df, "l_partkey", by=["l_returnflag"], log2m=12, engine=engine)
+        )
+        # the scan must read only the two needed columns of the 11
+        assert "ReadSchema: struct<l_partkey:bigint,l_returnflag:string>" in p, engine
+        # the hash is computed JVM-side
+        assert "xxhash64" in p, engine
 
 
 def test_filter_pushdown_reaches_scan(spark, tmp_path):
@@ -61,8 +63,26 @@ def test_broadcast_join_is_broadcast(spark):
 
 
 def test_merge_shuffle_carries_sketches_not_rows(spark, events):
-    """The only Exchange in the NDV plan sits above MapInPandas — i.e.
-    it shuffles partial sketches, never raw rows."""
-    p = plan(hll_sketch(events, "user_id", by=["event_type"], log2m=12))
+    """python engine: the only Exchange sits above MapInPandas — it
+    shuffles partial sketches, never raw rows."""
+    p = plan(
+        hll_sketch(events, "user_id", by=["event_type"], log2m=12, engine="python")
+    )
     assert p.count("Exchange") == 1
     assert p.index("Exchange") < p.index("MapInPandas")  # plans print top-down
+
+
+def test_sql_engine_partial_aggregates_before_shuffle(spark, events):
+    """sql engine: a partial HashAggregate (keys, register index) runs
+    before the single Exchange, so the shuffle carries at most m rows per
+    (key, partition) — never raw rows."""
+    p = plan(
+        hll_sketch(events, "user_id", by=["event_type"], log2m=12, engine="sql")
+    )
+    # two exchanges: (key, idx) for the register agg — fed by a PARTIAL
+    # HashAggregate that collapses each partition to <= m rows per key —
+    # and (key) for the assembly step over <= m agg rows per key
+    assert p.count("Exchange") == 2
+    assert "partial_max" in p
+    assert p.index("partial_max") > p.index("Exchange", p.index("Exchange") + 1)
+    assert "bit_count" in p  # rho computed in codegen
