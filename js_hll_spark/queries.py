@@ -238,6 +238,45 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """Sessionization on the events stream table: a new session starts
+    after a >30 min gap per user; returns sessions per user (window
+    functions: lag + cumulative sum)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = events.select(
+        "user_id",
+        "ts",
+        (
+            F.coalesce(
+                (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+                > 1800,
+                F.lit(True),
+            )
+        )
+        .cast("int")
+        .alias("new_session"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                      ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM gaps GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # text analysis (exact, oracled)
 # --------------------------------------------------------------------------
@@ -251,6 +290,29 @@ def q_token_count(spark, sf_dir):
 
 SQL_TOKEN_COUNT = f"""
 SELECT doc_id, len(string_split({_SQL_NORM}, ' ')) AS n_tokens
+FROM documents
+"""
+
+
+_BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish regex tokenization (letters runs | digit runs | single
+    punctuation) — same RE2-compatible pattern in both engines."""
+    # NOTE: F.expr would route the pattern through a SQL string literal,
+    # where Spark unescapes \s -> s; the python API keeps it verbatim
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PATTERN), F.lit(0))
+        ).alias("n_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT_BPE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS n_bpe_tokens
 FROM documents
 """
 
@@ -703,7 +765,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "setop_union": q_setop_union,
     "quantiles_exact": q_quantiles_exact,
     "events_windowed_counts": q_events_windowed_counts,
+    "sessionize": q_sessionize,
     "token_count": q_token_count,
+    "token_count_bpe": q_token_count_bpe,
     "quality_score": q_quality_score,
     "fingerprint": q_fingerprint,
     "lang_id": q_lang_id,
@@ -741,7 +805,9 @@ ORACLES: dict[str, str] = {
     "setop_union": SQL_SETOP,
     "quantiles_exact": SQL_QUANTILES,
     "events_windowed_counts": SQL_EVENTS_WINDOWED,
+    "sessionize": SQL_SESSIONIZE,
     "token_count": SQL_TOKEN_COUNT,
+    "token_count_bpe": SQL_TOKEN_COUNT_BPE,
     "quality_score": SQL_QUALITY,
     "fingerprint": SQL_FINGERPRINT,
     "lang_id": SQL_LANG_ID,

@@ -184,3 +184,29 @@ def test_high_cardinality_group_keys(spark, events):
     assert len(rows) == len(exact)
     for r in rows:
         assert abs(r["ndv"] - exact[r["user_id"]]) / max(exact[r["user_id"]], 1) < 0.2
+
+
+def test_extreme_skew_correct(spark):
+    """95% of rows share one group key (Zipf worst case): the partial
+    stage bounds the merge shuffle at one row per partition per key, and
+    the result stays bit-identical to the balanced computation."""
+    import pyspark.sql.functions as F
+
+    n = 200_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 20 != 0, F.lit("hot")).otherwise(
+            F.concat(F.lit("cold"), (F.col("id") % 7).cast("string"))
+        ).alias("k"),
+        F.col("id").alias("v"),
+    )
+    skewed = hll_sketch(df.repartition(16), "v", by=["k"], log2m=12)
+    rows = {r["k"]: (bytes(r["sketch"]), r["rows_seen"]) for r in skewed.collect()}
+    exact = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert set(rows) == set(exact)
+    assert rows["hot"][1] == n - n // 20
+    for k, n_exact in exact.items():
+        est = hll_sketch(df.filter(F.col("k") == k), "v", log2m=12).first()["ndv"]
+        assert abs(est - n_exact) / n_exact < 3 * BOUND(12)
