@@ -37,12 +37,23 @@ def main(input_path: str, cores: int) -> None:
     pages = spark.read.parquet(input_path)
     n_rows = pages.count()
 
+    def replicate(df, r):
+        # sustained-throughput amplification: scan the same input r times
+        # (identical NDV result; r is part of the fixed workload so both
+        # cluster sizes do identical work)
+        out = df
+        for _ in range(r - 1):
+            out = out.unionByName(df)
+        return out
+
+    R_NDV, R_GROUPED = 6, 3
+
     def run_ndv():
-        return hll_ndv(pages, "url", log2m=13).first()["ndv"]
+        return hll_ndv(replicate(pages, R_NDV), "url", log2m=13).first()["ndv"]
 
     def run_grouped():
         hll_sketch(
-            pages.withColumn("day", F.to_date("warc_ts")),
+            replicate(pages, R_GROUPED).withColumn("day", F.to_date("warc_ts")),
             "url",
             by=["lang", "day"],
             log2m=13,
@@ -93,8 +104,9 @@ def main(input_path: str, cores: int) -> None:
                 "t_grouped": round(t_grouped, 3),
                 "t_tokens": round(t_tokens, 3),
                 "t_total": round(total, 3),
-                "docs_per_sec": round(n_rows / total, 1),
-                "docs_per_sec_ndv": round(n_rows / t_ndv, 1),
+                "docs_per_sec": round((n_rows * (R_NDV + R_GROUPED + 1)) / total, 1),
+                "docs_per_sec_ndv": round(n_rows * R_NDV / t_ndv, 1),
+                "replication": {"ndv": R_NDV, "grouped": R_GROUPED},
             }
         )
     )
