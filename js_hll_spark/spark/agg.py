@@ -43,7 +43,7 @@ from pyspark.sql.types import (
 
 from ..config import HLLConfig
 from ..core.hll import HLL, estimate_from_registers, update_registers
-from ..hashing import murmur3_64_uint64, to_uint64
+from ..hashing import murmur3_64_bytes, murmur3_64_uint64, to_uint64
 
 _HASH_COL = "__h64"
 _SKETCH_COL = "sketch"
@@ -105,9 +105,14 @@ def _make_partial_fn(
             return pd.DataFrame(out)
 
         for pdf in batches:
-            h = to_uint64(pdf[_HASH_COL].to_numpy())
             if hash_in_python:
-                h = murmur3_64_uint64(h)
+                col = pdf[_HASH_COL]
+                if col.dtype == object or str(col.dtype).startswith("str"):
+                    h = murmur3_64_bytes(col)
+                else:
+                    h = murmur3_64_uint64(to_uint64(col.to_numpy()))
+            else:
+                h = to_uint64(pdf[_HASH_COL].to_numpy())
             if not keys:
                 r = regs.get(())
                 if r is None:
@@ -227,11 +232,16 @@ def hll_sketch(
 
     hash_in_python = hash_method == "murmur3"
     if hash_in_python:
-        # murmur convention: vectorized in the Python worker over the raw
-        # 64-bit value; restrict to integral columns (strings go xxhash64)
-        hashed = df.select(
-            *keys, F.col(value_col).cast("long").alias(_HASH_COL)
-        )
+        # AK murmur3 convention, vectorized in the Python worker: integral
+        # columns hash as their 8-byte little-endian form; strings/binary
+        # hash as UTF-8 bytes (murmur3_64_bytes, pyarrow-backed). The raw
+        # column crosses the Arrow boundary — the price of hash
+        # compatibility with externally-built AK-ecosystem sketches.
+        dtype = dict(df.dtypes)[value_col]
+        col = F.col(value_col)
+        if dtype in ("tinyint", "smallint", "int", "bigint"):
+            col = col.cast("long")
+        hashed = df.select(*keys, col.alias(_HASH_COL))
     else:
         hashed = df.select(*keys, _hash_column(value_col, hash_method).alias(_HASH_COL))
 

@@ -210,3 +210,23 @@ def test_extreme_skew_correct(spark):
     for k, n_exact in exact.items():
         est = hll_sketch(df.filter(F.col("k") == k), "v", log2m=12).first()["ndv"]
         assert abs(est - n_exact) / n_exact < 3 * BOUND(12)
+
+
+def test_murmur3_string_column(spark, documents):
+    """AK-convention murmur3 over a STRING column (vectorized
+    murmur3_64_bytes in the worker): estimate within bound and sketch
+    bit-identical to a local numpy build with the same hash."""
+    import numpy as np
+
+    from js_hll_spark import HLL, HLLConfig
+    from js_hll_spark.hashing import murmur3_64_bytes
+
+    est_row = hll_sketch(
+        documents, "text", log2m=12, hash_method="murmur3", engine="python"
+    ).first()
+    texts = [r["text"] for r in documents.select("text").collect()]
+    local = HLL(HLLConfig(12, 5), explicit_threshold=0, sparse_on=False)
+    local.add_raw64(murmur3_64_bytes(texts))
+    assert bytes(est_row["sketch"]) == local.to_bytes()
+    exact = len(set(texts))
+    assert abs(est_row["ndv"] - exact) / exact < 3 * BOUND(12)
