@@ -211,6 +211,12 @@ def hll_sketch(
     partial harness (required for murmur3, supports tree_fanin and the
     memory budget). 'auto' picks by hash_method. Both engines produce
     bit-identical sketches.
+
+    High-cardinality group keys: both engines carry O(keys x m) state —
+    the sql engine in Catalyst's spill-capable HashAggregate, the python
+    engine in a byte-budgeted dict that flushes. Prefer a smaller log2m
+    when sketching per-key over millions of keys (the error bound is per
+    sketch, and tiny groups saturate far below m registers anyway).
     """
     config = HLLConfig(log2m, regwidth)
     keys = list(by)
