@@ -85,6 +85,11 @@ def main() -> None:
         "ngram_jaccard",
         "ann_bruteforce",
         "simhash_signatures",
+        "simhash_fast",
+        "minhash_lsh_fast",
+        "token_count_bpe",
+        "sessionize",
+        "dedup_keep_rows",
         "hll_ndv_by_lang",
         "hll_ndv_events_hourly",
     ]

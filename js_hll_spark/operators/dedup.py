@@ -330,13 +330,16 @@ def simhash_signatures_fast(
                 yield pd.DataFrame({"doc_id": pdf[id_col], "simhash": 0})
                 continue
             h = murmur3_64_bytes(flat)
-            row_ids = np.repeat(np.arange(len(pdf)), counts)
             bits = (
                 (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                 & np.uint64(1)
-            ).astype(np.int32)
-            votes = np.zeros((len(pdf), 64), dtype=np.int64)
-            np.add.at(votes, row_ids, 2 * bits - 1)
+            ).astype(np.int64)
+            # tokens of one doc are contiguous in `flat`, so per-doc vote
+            # sums are a single reduceat over segment starts (2D add.at
+            # scatter is ~10x slower)
+            starts = np.zeros(len(pdf), dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            votes = 2 * np.add.reduceat(bits, starts, axis=0) - counts[:, None]
             sim = np.where(votes > 0, 1, 0).astype(np.uint64)
             weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
             with np.errstate(over="ignore"):

@@ -598,6 +598,46 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_embedding_near_dups_exact(spark, sf_dir):
+    """Exact embedding near-dup pairs (cosine >= 0.5) — all-pairs on the
+    small embeddings table; the LSH-bucketed variant is the scale path."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    v = emb.select(F.col("vec_id").alias("__id"), F.col("embedding").alias("__v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(ann.cosine(F.col("a.__v"), F.col("b.__v")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.3)
+    )
+
+
+SQL_EMB_NEAR_DUPS = """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+"""
+
+
+def q_embedding_near_dups_lsh(spark, sf_dir):
+    # rows-only: bucketing depends on seeded hyperplanes
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return ann.embedding_near_dups(emb, threshold=0.3, bits=2)
+
+
 def q_ann_lsh(spark, sf_dir):
     # rows-only: bucketing depends on seeded hyperplanes; recall asserted
     # against the brute-force baseline in pytest
@@ -786,6 +826,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_fast": q_simhash_fast,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "embedding_near_dups_exact": q_embedding_near_dups_exact,
+    "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     "heavy_hitters_exact": q_heavy_hitters_exact,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "quantiles_kll": q_quantiles_kll,
@@ -823,6 +865,7 @@ ORACLES: dict[str, str] = {
     "minhash_lsh": SQL_MINHASH_LSH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "ann_bruteforce": SQL_ANN,
+    "embedding_near_dups_exact": SQL_EMB_NEAR_DUPS,
     "heavy_hitters_exact": SQL_HEAVY_HITTERS,
     "semijoin_membership": SQL_SEMIJOIN,
     "user_overlap_exact": SQL_USER_OVERLAP,
