@@ -553,6 +553,60 @@ def q_hll_interop_hex(spark, sf_dir):
     )
 
 
+def q_dedup_pipeline(spark, sf_dir):
+    """End-to-end near-dup pipeline: MinHash-LSH candidates -> exact
+    n-gram Jaccard verification -> pairs >= 0.5. Both tiers reproduce in
+    DuckDB (md5 signatures + exact set math), so the whole pipeline is
+    oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(docs, k=8, bands=4, shingle_n=3)
+    return dedup.ngram_jaccard(
+        docs, pairs=cand, shingle_n=3, threshold=0.5
+    )
+
+
+SQL_DEDUP_PIPELINE = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         [array_to_string(t[i:i+2], ' ')
+          for i in range(1, greatest(len(t)-3, 0)+2)] AS shingles
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+         [list_min([substring(md5(j::VARCHAR || '|' || s), 1, 16)
+                    for s in shingles])
+          for j in range(0, 8)] AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id, b AS band_idx,
+         array_to_string(sig[b*2+1:b*2+2], ',') AS band_hash
+  FROM sig, range(0, 4) r(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+), shx AS (
+  SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM sh
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM shx a JOIN shx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter i
+JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+"""
+
+
 def q_simhash_signatures(spark, sf_dir):
     # rows-only: xxhash64 does not exist in DuckDB
     return dedup.simhash_signatures(_t(spark, sf_dir, "documents"))
@@ -822,6 +876,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh": q_minhash_lsh,
     "minhash_lsh_fast": q_minhash_lsh_fast,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_pipeline": q_dedup_pipeline,
     "simhash_signatures": q_simhash_signatures,
     "simhash_fast": q_simhash_fast,
     "ann_bruteforce": q_ann_bruteforce,
@@ -864,6 +919,7 @@ ORACLES: dict[str, str] = {
     "dedup_keep_rows": SQL_DEDUP_KEEP_ROWS,
     "minhash_lsh": SQL_MINHASH_LSH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_pipeline": SQL_DEDUP_PIPELINE,
     "ann_bruteforce": SQL_ANN,
     "embedding_near_dups_exact": SQL_EMB_NEAR_DUPS,
     "heavy_hitters_exact": SQL_HEAVY_HITTERS,
