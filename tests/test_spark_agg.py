@@ -230,3 +230,20 @@ def test_murmur3_string_column(spark, documents):
     assert bytes(est_row["sketch"]) == local.to_bytes()
     exact = len(set(texts))
     assert abs(est_row["ndv"] - exact) / exact < 3 * BOUND(12)
+
+
+def test_large_precision_configs(spark, events):
+    """log2m=20 (1M registers, the 'tens of billions NDV' shape) and
+    regwidth=8 run through the full Spark path on both engines with
+    bit-identical results and valid spec encoding."""
+    from js_hll_spark import HLL
+
+    for engine in ("sql", "python"):
+        row = hll_sketch(
+            events, "user_id", log2m=20, regwidth=8, engine=engine
+        ).first()
+        s = HLL.from_bytes(bytes(row["sketch"]))
+        assert s.config.log2m == 20 and s.config.regwidth == 8
+        exact = events.select(F.countDistinct("user_id")).first()[0]
+        # at n << m the estimator is in the linear-counting regime: tight
+        assert abs(row["ndv"] - exact) / exact < 0.01, engine
