@@ -740,6 +740,30 @@ def q_hll_sketch_rollup(spark, sf_dir):
     return hll_rollup(fine, ["lang"]).select("lang", "ndv")
 
 
+def q_sink_roundtrip(spark, sf_dir):
+    """Sink surface: write documents partitioned by lang (Hive layout,
+    the Iceberg stand-in), read back through the partitioned scan, and
+    aggregate — exercises writer + partition discovery end to end.
+    Rows-only by registry convention (side-effecting), but the aggregate
+    is deterministic and checked against the direct read in pytest."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="sink_roundtrip_")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+SQL_SINK = """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
 def q_heavy_hitters_exact(spark, sf_dir):
     """Exact twin of the CMS heavy-hitter pipeline (top tokens)."""
     docs = _t(spark, sf_dir, "documents")
@@ -883,6 +907,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+    "sink_roundtrip": q_sink_roundtrip,
     "heavy_hitters_exact": q_heavy_hitters_exact,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "quantiles_kll": q_quantiles_kll,
@@ -922,6 +947,7 @@ ORACLES: dict[str, str] = {
     "dedup_pipeline": SQL_DEDUP_PIPELINE,
     "ann_bruteforce": SQL_ANN,
     "embedding_near_dups_exact": SQL_EMB_NEAR_DUPS,
+    "sink_roundtrip": SQL_SINK,
     "heavy_hitters_exact": SQL_HEAVY_HITTERS,
     "semijoin_membership": SQL_SEMIJOIN,
     "user_overlap_exact": SQL_USER_OVERLAP,
