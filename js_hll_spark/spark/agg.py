@@ -236,6 +236,10 @@ def hll_sketch(
             keep_sketch=keep_sketch,
         )
 
+    # NULL values are excluded, matching countDistinct semantics (a NULL
+    # would otherwise hash to a constant and count as one spurious value)
+    df = df.filter(F.col(value_col).isNotNull())
+
     hash_in_python = hash_method == "murmur3"
     if hash_in_python:
         # AK murmur3 convention, vectorized in the Python worker: integral
@@ -327,6 +331,7 @@ def hll_sketch_sql(
     config = HLLConfig(log2m, regwidth)
     keys = list(by)
 
+    df = df.filter(F.col(value_col).isNotNull())  # countDistinct semantics
     h = F.xxhash64(F.col(value_col))
     idx = h.bitwiseAND(F.lit(config.register_index_mask)).alias("__idx")
     w = F.shiftrightunsigned(h, config.log2m)
