@@ -613,9 +613,14 @@ def q_simhash_signatures(spark, sf_dir):
 
 
 def q_simhash_fast(spark, sf_dir):
-    # rows-only: numpy/murmur3 fast path; properties asserted in pytest
+    # rows-only: numpy/murmur3 fast path; properties asserted in pytest.
+    # sf parquet ships as one row group -> repartition so the vectorized
+    # python stage uses every core
     _ship(spark)
-    return dedup.simhash_signatures_fast(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return dedup.simhash_signatures_fast(docs)
 
 
 # --------------------------------------------------------------------------
