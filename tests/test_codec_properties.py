@@ -92,3 +92,30 @@ def test_decode_never_crashes_uncontrolled(data):
         s.algorithm_cardinality()
     except ValueError:
         pass
+
+
+def test_pack_unpack_exhaustive_sweep():
+    """Exhaustive small-space sweep of the bit packer (the reference's
+    util-test regime, /root/reference/test/util-test.js:120-229): every
+    word width 1..16, word counts 0..40, pseudo-random values — pack then
+    unpack is the identity and the padded tail stays at the bottom of the
+    last byte (all-zero bits)."""
+    from js_hll_spark.codec import _pack_words, _unpack_words
+
+    for bits in range(1, 17):
+        maxval = (1 << bits) - 1
+        for n in (0, 1, 2, 3, 7, 8, 9, 40):
+            vals = (
+                np.arange(n, dtype=np.uint64) * np.uint64(2654435761)
+            ) & np.uint64(maxval)
+            packed = _pack_words(vals, bits)
+            assert len(packed) == (n * bits + 7) // 8
+            back = _unpack_words(packed, bits, n)
+            np.testing.assert_array_equal(back, vals)
+            # padding bits beyond n*bits are zero
+            if n and (n * bits) % 8:
+                tail_bits = np.unpackbits(
+                    np.frombuffer(packed[-1:], dtype=np.uint8)
+                )
+                pad = 8 - (n * bits) % 8
+                assert not tail_bits[-pad:].any()

@@ -128,3 +128,23 @@ def test_resume_recomputes_invalidated_stage(spark, tmp_path):
     runner.invalidate("s1")
     runner.run("s1", build)
     assert calls["n"] == 2
+
+
+def test_resume_after_partial_stage_write(spark, tmp_path):
+    """A stage directory left behind by a killed run (data written, no
+    manifest) is rebuilt on resume, not trusted."""
+    from js_hll_spark.plans.checkpoint import StageRunner
+
+    work = str(tmp_path / "crash")
+    runner = StageRunner(spark, work)
+    # simulate the crash: stage output exists but no manifest
+    spark.range(5).write.parquet(os.path.join(work, "stage=s1"))
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(99).withColumnRenamed("id", "x")
+
+    out = runner.run("s1", build)
+    assert calls["n"] == 1
+    assert out.count() == 99  # rebuilt, stale data replaced
