@@ -244,13 +244,18 @@ def q_sessionize(spark, sf_dir):
     functions: lag + cumulative sum)."""
     events = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
+    # sub-second-exact epoch: unix_timestamp truncates to whole seconds
+    # while DuckDB's epoch() keeps fractions — a gap of 1800.5 s would
+    # flip the >1800 predicate between engines (CORRECTNESS_r01 red row)
+    # parquet ts is TIMESTAMP_NTZ, which cannot cast to double directly;
+    # NTZ->TZ interpretation offsets cancel in the gap difference
+    epoch = F.col("ts").cast("timestamp").cast("double")
     gaps = events.select(
         "user_id",
         "ts",
         (
             F.coalesce(
-                (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
-                > 1800,
+                (epoch - F.lag(epoch).over(w)) > 1800.0,
                 F.lit(True),
             )
         )
@@ -258,7 +263,7 @@ def q_sessionize(spark, sf_dir):
         .alias("new_session"),
     )
     return gaps.groupBy("user_id").agg(
-        F.sum("new_session").alias("n_sessions"),
+        F.sum("new_session").cast("long").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -272,7 +277,8 @@ WITH gaps AS (
               THEN 1 ELSE 0 END AS new_session
   FROM events
 )
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
 FROM gaps GROUP BY user_id
 """
 
@@ -764,7 +770,7 @@ def q_sink_roundtrip(spark, sf_dir):
 
 
 SQL_SINK = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang
 """
 

@@ -33,6 +33,15 @@ def canon(v):
     return str(v)
 
 
+def _spark_kind(dt):
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "i"
+    if s in ("float", "double") or s.startswith("decimal"):
+        return "f"
+    return "O"
+
+
 def value_hash(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -73,7 +82,12 @@ def main(only=None):
         try:
             cur = con.sql(ORACLES[name])
             dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            # fetch through pandas like the driver does: DuckDB HUGEINT
+            # (e.g. sum(int)) becomes float64 here, which fetchall() would
+            # mask by returning Python ints (CORRECTNESS_r01 lesson)
+            ddf = cur.df()
+            drows = [tuple(r) for r in ddf.itertuples(index=False)]
+            dkinds = {c: ddf[c].dtype.kind for c in ddf.columns}
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
             failures.append(name)
@@ -82,7 +96,22 @@ def main(only=None):
         ok_count = len(srows) == len(drows)
         sh, dh = value_hash(scols, srows), value_hash(dcols, drows)
         ok_hash = sh == dh
-        status = "OK  " if (ok_cols and ok_count and ok_hash) else "FAIL"
+        # numeric-kind parity: an int64 Spark column vs a float64 oracle
+        # column hashes equal under %.6g but diverges under stricter
+        # driver canonicalization (str(64437) vs str(64437.0))
+        skinds = {f.name: _spark_kind(f.dataType) for f in sdf.schema.fields}
+        type_diffs = [
+            c
+            for c in scols
+            if c in dkinds
+            and skinds.get(c) in ("i", "f")
+            and dkinds[c] in ("i", "f")
+            and skinds[c] != dkinds[c]
+        ]
+        ok_types = not type_diffs
+        status = (
+            "OK  " if (ok_cols and ok_count and ok_hash and ok_types) else "FAIL"
+        )
         print(
             f"{status}  {name}: spark {len(srows)}x{len(scols)}"
             f" duck {len(drows)}x{len(dcols)}"
@@ -94,6 +123,13 @@ def main(only=None):
             if not ok_cols:
                 print(f"      spark cols: {sorted(scols)}")
                 print(f"      duck  cols: {sorted(dcols)}")
+            if type_diffs:
+                print(
+                    "      numeric-kind mismatch (spark vs oracle): "
+                    + ", ".join(
+                        f"{c}: {skinds[c]} vs {dkinds[c]}" for c in type_diffs
+                    )
+                )
     spark.stop()
     print("\nFAILURES:" if failures else "\nALL OK", ", ".join(failures))
     return 1 if failures else 0
