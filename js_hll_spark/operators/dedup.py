@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import fingerprint, tokens
 
@@ -219,26 +219,54 @@ def ngram_jaccard(
     *,
     shingle_n: int = 3,
     threshold: float = 0.0,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact word-shingle Jaccard. If ``pairs`` (id_a, id_b) is given, only
-    verifies those candidates (the LSH → verify pipeline); otherwise scores
-    all pairs sharing at least one shingle (exact mode for small/oracled
-    inputs). Returns (id_a, id_b, jaccard)."""
+    those candidates are intersected (the LSH → verify pipeline): pairs is
+    broadcast onto a's shingles, then an equi-join on (id_b, sh) keeps the
+    shared ones — intersection cost is proportional to the candidate set,
+    never all co-shingled pairs. Without ``pairs``, scores all pairs
+    sharing ≥1 shingle (exact mode for small/oracled inputs).
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    docs BEFORE sizes/intersections (a stopword shingle is a hot join key
+    and a quadratic blowup at scale); this redefines the shingle universe
+    consistently, so jaccard stays a true Jaccard over the kept shingles.
+    Returns (id_a, id_b, jaccard)."""
     ex = df.select(
         F.col(id_col).alias("__id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh"),
     )
+    if max_shingle_df is not None:
+        w_df = Window.partitionBy("sh")
+        ex = ex.withColumn("__df", F.count(F.lit(1)).over(w_df)).filter(
+            F.col("__df") <= max_shingle_df
+        ).drop("__df")
     sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     if pairs is not None:
-        # verification tier: score only the LSH candidates
-        inter = inter.join(F.broadcast(pairs), ["id_a", "id_b"], "left_semi")
+        # verification tier: intersect ONLY the candidates. Candidates are
+        # a tiny table → broadcast onto a's posting list, then an equi-join
+        # on (id_b, sh) — Catalyst could not push a post-aggregation
+        # semi-join below the all-pairs self-join (VERDICT r1 #3).
+        inter = (
+            F.broadcast(pairs)
+            .join(ex.withColumnRenamed("__id", "id_a"), "id_a")
+            .join(ex.withColumnRenamed("__id", "id_b"), ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        a = ex.alias("a")
+        b = ex.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.__id") < F.col("b.__id")),
+            )
+            .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     out = (
         inter.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")

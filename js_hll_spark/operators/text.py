@@ -93,7 +93,9 @@ def simhash64(col: str | Column = "text") -> Column:
             lambda acc, h: acc
             + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
-        return F.when(votes > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+        # 1 << 63 overflows LongType; bit 63 is the sign bit
+        bit = (1 << i) if i < 63 else -(1 << 63)
+        return F.when(votes > 0, F.lit(bit).cast("long")).otherwise(F.lit(0))
 
     out = F.lit(0).cast("long")
     for i in range(64):

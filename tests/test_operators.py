@@ -155,3 +155,76 @@ def test_simhash_fast_properties(spark, pages):
     dedup.simhash_signatures(pages, "text", "row_id").count()
     slow = time.perf_counter() - t0
     assert fast < slow
+
+
+def test_ngram_jaccard_pairs_mode_matches_allpairs(spark, pages):
+    """The candidates-first verification tier must score exactly what
+    all-pairs mode scores for the same pairs (the pipeline contract)."""
+    sample = pages.limit(300).cache()
+    cand = dedup.minhash_lsh_candidates(sample, k=8, bands=4, id_col="row_id")
+    allpairs = dedup.ngram_jaccard(sample, text_col="text", id_col="row_id")
+    via_all = set(
+        map(tuple, allpairs.join(cand, ["id_a", "id_b"], "left_semi").collect())
+    )
+    via_pairs = set(
+        map(
+            tuple,
+            dedup.ngram_jaccard(
+                sample, pairs=cand, text_col="text", id_col="row_id"
+            ).collect(),
+        )
+    )
+    assert via_pairs == via_all and len(via_pairs) > 0
+
+
+def test_ngram_jaccard_shingle_df_cap(spark, pages):
+    """A cap >= ndocs is a no-op; cap=0 drops every shingle (no pairs)."""
+    sample = pages.limit(200).cache()
+    cand = dedup.minhash_lsh_candidates(sample, k=8, bands=4, id_col="row_id")
+    uncapped = set(
+        map(
+            tuple,
+            dedup.ngram_jaccard(
+                sample, pairs=cand, text_col="text", id_col="row_id"
+            ).collect(),
+        )
+    )
+    huge_cap = set(
+        map(
+            tuple,
+            dedup.ngram_jaccard(
+                sample,
+                pairs=cand,
+                text_col="text",
+                id_col="row_id",
+                max_shingle_df=10**9,
+            ).collect(),
+        )
+    )
+    assert huge_cap == uncapped
+    none_kept = dedup.ngram_jaccard(
+        sample, pairs=cand, text_col="text", id_col="row_id", max_shingle_df=0
+    )
+    assert none_kept.count() == 0
+
+
+def test_text_simhash64_matches_dedup_signatures(spark, pages):
+    """text.simhash64 (per-bit Catalyst votes) is bit-identical to
+    dedup.simhash_signatures (array-vote variant) — same tokens, same
+    xxhash64, same sign rule, incl. the LongType sign bit 63."""
+    sub = pages.limit(50)
+    a = sorted(
+        map(
+            tuple,
+            sub.select(
+                F.col("row_id").alias("doc_id"),
+                text.simhash64("text").alias("simhash"),
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(tuple, dedup.simhash_signatures(sub, "text", "row_id").collect())
+    )
+    assert a == b
+    # at least one signature exercises the sign bit across the corpus
+    assert any(s < 0 for _, s in a)

@@ -86,3 +86,24 @@ def test_sql_engine_partial_aggregates_before_shuffle(spark, events):
     assert "partial_max" in p
     assert p.index("partial_max") > p.index("Exchange", p.index("Exchange") + 1)
     assert "bit_count" in p  # rho computed in codegen
+
+
+def test_ngram_jaccard_pairs_mode_has_no_allpairs_selfjoin(spark):
+    """With candidates given, the verification tier must never build the
+    all-co-shingled-pairs self-join (id < id non-equi condition) — the
+    intersection work has to be proportional to the candidate set."""
+    import re
+
+    from js_hll_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    allpairs_plan = optimized(dedup.ngram_jaccard(docs))
+    pairs_plan = optimized(dedup.ngram_jaccard(docs, pairs=pairs))
+    selfjoin = re.compile(r"__id#\d+L? < __id#\d+L?")
+    assert selfjoin.search(allpairs_plan)  # exact mode keeps it (oracle tier)
+    assert not selfjoin.search(pairs_plan)
+    assert "BroadcastHashJoin" in plan(dedup.ngram_jaccard(docs, pairs=pairs))
