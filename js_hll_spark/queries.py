@@ -738,6 +738,56 @@ def q_hll_ndv_events_hourly(spark, sf_dir):
     return hll_ndv(events, "user_id", by=["window_start"], log2m=12)
 
 
+def q_streaming_ndv_hourly(spark, sf_dir):
+    """Streaming surface, driver-visible (SURVEY §2.2 'streaming'): replay
+    events as a 4-file stream (maxFilesPerTrigger=1 -> 4 micro-batches),
+    maintain the per-(window, event_type) sketch-state table via the
+    foreachBatch merge loop, then read the final state. Sketches are built
+    with the python engine and stay EXPLICIT (auto threshold 512 at
+    log2m=13/rw=5 > max hourly NDV at sf<=0.1), so the 'estimates' are
+    exact distinct counts and the whole streaming path oracles against
+    count(DISTINCT). Late data needs no special case — a late event's
+    micro-batch is just another sketch union (reference semantics:
+    union is the only merge op, src/hll.js:345-346)."""
+    import tempfile
+
+    from .streaming.ndv import read_ndv_state, streaming_ndv
+
+    base = tempfile.mkdtemp(prefix="stream_ndv_")
+    events = _t(spark, sf_dir, "events").select("ts", "user_id", "event_type")
+    indir = f"{base}/in"
+    events.repartition(4).write.parquet(indir)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    # ts is TIMESTAMP_NTZ; window on it directly (same convention as the
+    # batch twin events_windowed_counts) and skip the watermark — the
+    # foreachBatch state merge handles late arrivals by construction
+    q = streaming_ndv(
+        stream,
+        "user_id",
+        ts_col="ts",
+        window="1 hour",
+        keys=["event_type"],
+        state_dir=base,
+        watermark=None,
+        log2m=13,
+        engine="python",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = read_ndv_state(spark, base)
+    return state.select(
+        "window_start",
+        "event_type",
+        F.col("ndv").cast("long").alias("ndv_users"),
+    )
+
+
 def q_hll_sketch_rollup(spark, sf_dir):
     """Sketch at (lang, source) grain, roll up to lang by union only."""
     _ship(spark)
@@ -900,6 +950,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "setop_union": q_setop_union,
     "quantiles_exact": q_quantiles_exact,
     "events_windowed_counts": q_events_windowed_counts,
+    "streaming_ndv_hourly": q_streaming_ndv_hourly,
     "sessionize": q_sessionize,
     "token_count": q_token_count,
     "token_count_bpe": q_token_count_bpe,
@@ -945,6 +996,7 @@ ORACLES: dict[str, str] = {
     "setop_union": SQL_SETOP,
     "quantiles_exact": SQL_QUANTILES,
     "events_windowed_counts": SQL_EVENTS_WINDOWED,
+    "streaming_ndv_hourly": SQL_EVENTS_WINDOWED,
     "sessionize": SQL_SESSIONIZE,
     "token_count": SQL_TOKEN_COUNT,
     "token_count_bpe": SQL_TOKEN_COUNT_BPE,

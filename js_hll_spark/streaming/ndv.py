@@ -51,25 +51,47 @@ def streaming_ndv(
     window: str = "1 hour",
     keys: Sequence[str] = (),
     state_dir: str,
-    watermark: str = "2 hours",
+    watermark: str | None = "2 hours",
     log2m: int = 12,
     checkpoint_dir: str | None = None,
+    engine: str = "auto",
 ):
     """Start a foreachBatch streaming query maintaining a per-window NDV
     sketch table under ``state_dir``. Returns the StreamingQuery.
 
-    Read estimates any time with ``read_ndv_state(spark, state_dir)``.
+    ``watermark=None`` skips withWatermark (foreachBatch merges late data
+    regardless — a late event is just another union; the watermark only
+    documents the freshness bound). ``engine='python'`` builds native
+    EXPLICIT-mode sketches, whose estimates are exact below the explicit
+    threshold. Read estimates any time with
+    ``read_ndv_state(spark, state_dir)``.
     """
     spark = stream.sparkSession
     keys = list(keys)
     state_path = os.path.join(state_dir, "state")
     checkpoint_dir = checkpoint_dir or os.path.join(state_dir, "_checkpoint")
 
-    windowed = stream.withWatermark(ts_col, watermark)
+    windowed = (
+        stream.withWatermark(ts_col, watermark) if watermark else stream
+    )
+
+    def recover_state() -> None:
+        # crash-safe swap recovery: a crash between rename(state -> old)
+        # and rename(tmp -> state) leaves only .old — restore it; stale
+        # .tmp* dirs from aborted writes are garbage either way
+        old = state_path + ".old"
+        if not os.path.exists(state_path) and os.path.exists(old):
+            os.rename(old, state_path)
+        parent = os.path.dirname(state_path)
+        base = os.path.basename(state_path)
+        for entry in os.listdir(parent) if os.path.isdir(parent) else ():
+            if entry.startswith(base + ".tmp"):
+                shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        recover_state()
         with_window = batch_df.withColumn(
             "window_start", F.window(ts_col, window).start
         )
@@ -79,6 +101,7 @@ def streaming_ndv(
             by=["window_start", *keys],
             log2m=log2m,
             estimate=False,
+            engine=engine,
         )
         current = None
         if os.path.exists(state_path):

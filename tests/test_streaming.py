@@ -132,3 +132,69 @@ def test_stateful_streaming_ndv(spark, events, tmp_path):
         assert abs(latest[w][0] - n) / max(n, 1) < max(bound, 0.2)
     total_rows = sum(v[1] for v in latest.values())
     assert total_rows == events.count()
+
+
+def test_state_swap_crash_recovery(spark, events, tmp_path):
+    """A crash between rename(state -> .old) and rename(.tmp -> state)
+    must not reset NDV state: the next batch restores .old and cleans
+    stale .tmp dirs before merging."""
+    src_dir = str(tmp_path / "crash_src")
+    state_dir = str(tmp_path / "crash_state")
+    ev = events.limit(2000)
+    ev.coalesce(1).write.parquet(src_dir)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        q = streaming_ndv(
+            stream,
+            "user_id",
+            ts_col="ts",
+            window="6 hours",
+            state_dir=state_dir,
+            watermark=None,
+            log2m=12,
+            checkpoint_dir=str(tmp_path / "ckpt1"),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    def ndv_state():
+        # rows_seen is a replay counter (not idempotent by design);
+        # the recovery contract is about the sketch state -> NDV
+        return {
+            r["window_start"]: r["ndv"]
+            for r in read_ndv_state(spark, state_dir).collect()
+        }
+
+    run_once()
+    state_path = os.path.join(state_dir, "state")
+    before = ndv_state()
+    # simulate the mid-swap crash: state moved aside, a stale tmp left over
+    os.rename(state_path, state_path + ".old")
+    os.makedirs(state_path + ".tmp99")
+    # drive one more (duplicate) batch through a fresh checkpoint; the
+    # sketch union is idempotent so recovered-state + same data = same NDV
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = streaming_ndv(
+        stream,
+        "user_id",
+        ts_col="ts",
+        window="6 hours",
+        state_dir=state_dir,
+        watermark=None,
+        log2m=12,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert ndv_state() == before
+    assert not os.path.exists(state_path + ".tmp99")
+    assert not os.path.exists(state_path + ".old")
