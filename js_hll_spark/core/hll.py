@@ -91,11 +91,26 @@ def estimate_from_registers(regs: np.ndarray, config: HLLConfig) -> float:
     return -config.two_to_l * math.log(x)
 
 
-def fold_registers(regs: np.ndarray, config: HLLConfig, new_log2m: int) -> np.ndarray:
+def fold_registers(
+    regs: np.ndarray,
+    config: HLLConfig,
+    new_log2m: int,
+    *,
+    reference_compat: bool = False,
+) -> np.ndarray:
     """Reduce precision: new[i] = min(old[i] + (log2m - new_log2m), maxReg)
     over the first 2**new_log2m registers only (src/hll.js:363-398; upper
     half provably ignorable when registers are occupied — see the AK
-    "choosing the right bits" analysis cited there)."""
+    "choosing the right bits" analysis cited there).
+
+    Zero-register contract: by default a zero register stays zero — no
+    hash landed at that (low) index, so this matches direct-build
+    semantics exactly (the stronger property; fold == build-at-target on
+    dense inputs). The reference writes ``old + diff`` unconditionally
+    (src/hll.js:394-396), which inflates small-range estimates on sparse
+    register files but is what js-hll/java-hll emit —
+    ``reference_compat=True`` reproduces that byte-for-byte for consumers
+    comparing against reference-folded sketches."""
     if new_log2m == config.log2m:
         return regs.copy()
     if new_log2m < 4 or new_log2m > config.log2m:
@@ -107,11 +122,8 @@ def fold_registers(regs: np.ndarray, config: HLLConfig, new_log2m: int) -> np.nd
     diff = config.log2m - new_log2m
     folded_m = 1 << new_log2m
     out = regs[:folded_m].astype(np.int32) + diff
-    # A zero register stays zero: no hash landed at that (low) index, and
-    # writing ``diff`` there (as the reference does) inflates the estimate
-    # for sparse sketches. With occupied registers the formulas agree, which
-    # is what the reference's own fold-vs-direct property test exercises.
-    out[regs[:folded_m] == 0] = 0
+    if not reference_compat:
+        out[regs[:folded_m] == 0] = 0
     return np.minimum(out, config.max_register_value).astype(np.uint8)
 
 
@@ -362,11 +374,18 @@ class HLL:
 
     # ------------------------------------------------------------- fold --
 
-    def fold(self, new_log2m: int) -> "HLL":
-        """New sketch at reduced precision (src/hll.js:363-398)."""
-        return self.fold_to(HLLConfig(new_log2m, self.config.regwidth))
+    def fold(self, new_log2m: int, *, reference_compat: bool = False) -> "HLL":
+        """New sketch at reduced precision (src/hll.js:363-398).
+        ``reference_compat`` reproduces js-hll's unconditional old+diff
+        write into zero registers (see fold_registers)."""
+        return self.fold_to(
+            HLLConfig(new_log2m, self.config.regwidth),
+            reference_compat=reference_compat,
+        )
 
-    def fold_to(self, target: HLLConfig) -> "HLL":
+    def fold_to(
+        self, target: HLLConfig, *, reference_compat: bool = False
+    ) -> "HLL":
         if target.log2m > self.config.log2m or target.regwidth > self.config.regwidth:
             raise ValueError("can only fold to smaller log2m / narrower regwidth")
         if self._explicit is not None:
@@ -381,7 +400,9 @@ class HLL:
             return out
         regs = self.registers()
         if target.log2m < self.config.log2m:
-            regs = fold_registers(regs, self.config, target.log2m)
+            regs = fold_registers(
+                regs, self.config, target.log2m, reference_compat=reference_compat
+            )
         else:
             regs = regs.copy()
         np.minimum(regs, target.max_register_value, out=regs)

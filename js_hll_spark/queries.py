@@ -738,6 +738,35 @@ def q_hll_ndv_events_hourly(spark, sf_dir):
     return hll_ndv(events, "user_id", by=["window_start"], log2m=12)
 
 
+def q_hll_fold_union(spark, sf_dir):
+    """First-class fold surface (src/hll.js:363-398): two pipeline halves
+    sketch the same table at different precisions (log2m 13 and 11, as a
+    fleet rollout skew would produce); the per-lang rollup auto-folds the
+    wider sketch down and unions at log2m=11. Rows-only (approximate);
+    pytest pins fold==direct-build on dense registers and the
+    reference_compat zero-register contract."""
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents")
+    hi = hll_sketch(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        "text",
+        by=["lang"],
+        log2m=13,
+        estimate=False,
+    )
+    lo = hll_sketch(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "text",
+        by=["lang"],
+        log2m=11,
+        estimate=False,
+    )
+    mixed = hi.unionByName(lo)
+    return hll_rollup(mixed, ["lang"]).select(
+        "lang", F.round("ndv", 4).alias("ndv")
+    )
+
+
 def q_streaming_ndv_hourly(spark, sf_dir):
     """Streaming surface, driver-visible (SURVEY §2.2 'streaming'): replay
     events as a 4-file stream (maxFilesPerTrigger=1 -> 4 micro-batches),
@@ -951,6 +980,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantiles_exact": q_quantiles_exact,
     "events_windowed_counts": q_events_windowed_counts,
     "streaming_ndv_hourly": q_streaming_ndv_hourly,
+    "hll_fold_union": q_hll_fold_union,
     "sessionize": q_sessionize,
     "token_count": q_token_count,
     "token_count_bpe": q_token_count_bpe,

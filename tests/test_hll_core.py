@@ -347,3 +347,32 @@ def test_error_within_published_bound(log2m):
     s.add_raw64(values)
     rel = abs(s.algorithm_cardinality() - n) / n
     assert rel < 4 * 1.04 / math.sqrt(2 ** log2m)
+
+
+def test_fold_reference_compat_zero_registers():
+    """Contract pin (VERDICT r1 #4): default fold keeps zero registers at
+    0 (== direct-build semantics); reference_compat writes old+diff
+    unconditionally as js-hll does (src/hll.js:394-396), byte-matching
+    reference-folded sparse register files."""
+    big = full_hll(13, 5)
+    # occupy a handful of low registers only -> the folded file has zeros
+    big.add_raw64(rand_hashes(20, 7))
+    regs13 = big.registers()
+    diff = 13 - 10
+    default = big.fold(10).registers()
+    compat = big.fold(10, reference_compat=True).registers()
+    zero_idx = np.flatnonzero(regs13[: 1 << 10] == 0)
+    occ_idx = np.flatnonzero(regs13[: 1 << 10] != 0)
+    assert len(zero_idx) > 0 and len(occ_idx) > 0
+    np.testing.assert_array_equal(default[zero_idx], 0)
+    np.testing.assert_array_equal(compat[zero_idx], diff)
+    # occupied registers agree between the modes (old + diff, clamped)
+    np.testing.assert_array_equal(default[occ_idx], compat[occ_idx])
+    # on fully-dense registers the two modes are identical
+    big2 = full_hll(13, 5)
+    big2.add_raw64(rand_hashes(1_000_000, 3))
+    assert (big2.registers()[: 1 << 10] == 0).sum() == 0
+    np.testing.assert_array_equal(
+        big2.fold(10).registers(),
+        big2.fold(10, reference_compat=True).registers(),
+    )
