@@ -14,8 +14,13 @@ Byte layout ``V P C B*`` (reference: /root/reference/src/hll.js:437-467,
 - ``B*``: big-endian bit-packed body; FULL = m regwidth-bit words, SPARSE =
   ``(log2m+regwidth)``-bit ``(index << regwidth) | value`` words in
   ascending index order, EXPLICIT = 8-byte big-endian signed values.
-  Padding sits at the bottom of the last byte (empirically pinned against
-  the golden vectors, SURVEY.md §1.3).
+  Padding sits at the bottom of the last byte, per the storage spec's
+  "padding bits are added to the bottom of the last byte" and the
+  reference's top-down sequential bit reader (src/hll.js:426-460 writer,
+  src/util.js getBitSequenceValueFromByteArray). Every golden-vector
+  config is byte-aligned, so the direction is pinned live instead: the
+  reference itself decodes our 18-bit-word sparse hex at log2m=13/rw=5
+  register-exactly (tests/test_js_interop.py).
 
 Hex strings carry a 2-char prefix: ``/x`` on write (src/util.js:167-174),
 any 2 chars skipped on read (src/util.js:145-147).
