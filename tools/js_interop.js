@@ -19,6 +19,22 @@ for (const f of ["util.js", "hll.js"]) {
 const hll = ctx.hll;
 
 const input = JSON.parse(fs.readFileSync(0, "utf8"));
+
+// cumulative mode: start from hex0, addRaw each [lo,hi] value, report the
+// reference's float cardinality after every insert (NaN as the string
+// "NaN" — JSON has no NaN literal). Mirrors test/hll-test.js:444-481.
+if (input.cumulative) {
+  const set = hll.fromHexString(input.cumulative.hex0).hllSet;
+  const cards = [];
+  for (const v of input.cumulative.values) {
+    set.addRaw([v[0] >>> 0, v[1] >>> 0]);
+    const c = set.algorithmCardinality();
+    cards.push(Number.isNaN(c) || c < 0 ? "NaN" : c);
+  }
+  process.stdout.write(JSON.stringify({ cards }));
+  process.exit(0);
+}
+
 const out = [];
 for (const c of input.cases) {
   const parsed = hll.fromHexString(c.hex);
