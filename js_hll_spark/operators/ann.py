@@ -112,7 +112,10 @@ def ann_lsh(
     from pyspark.sql.window import Window
 
     if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
+        raise ValueError(
+            "pass dim explicitly: array column length is not in the schema,"
+            " and inferring it would run a driver-side job per call"
+        )
     planes = hyperplanes(dim, bits, seed)
     sig = lsh_signature(F.col(vec_col), planes)
     v = vectors.select(
@@ -161,7 +164,10 @@ def embedding_near_dups(
     """Near-duplicate vector pairs (cosine >= threshold), LSH-bucketed so
     the self-join never goes O(n^2). Returns (id_a, id_b, cos)."""
     if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
+        raise ValueError(
+            "pass dim explicitly: array column length is not in the schema,"
+            " and inferring it would run a driver-side job per call"
+        )
     planes = hyperplanes(dim, bits, seed)
     sig = lsh_signature(F.col(vec_col), planes)
     v = vectors.select(

@@ -1,10 +1,15 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata. The Spark-side plumbing — schema, partitioning, Arrow UDF
-signatures, batch shapes — is real and tested; the actual media decode is
-STUBBED (the sandbox has no image/audio libraries): ``decode_image``
-raises NotImplementedError unless ``fake=True``, which substitutes a
-deterministic fake decoder so the downstream feature pipeline is
-exercisable end to end.
+signatures, batch shapes — is real and tested.
+
+Decode support without external libraries (pure numpy):
+- BMP, uncompressed 24-bit BI_RGB (the format every OS screenshotter and
+  ffmpeg can emit) — full header parse, bottom-up rows, 4-byte row padding.
+- PPM (P6 binary), the netpbm interchange format.
+Compressed formats (PNG/JPEG) need codec libraries not present in this
+container: ``decode_image`` raises NotImplementedError for those magics
+unless ``fake=True`` substitutes the deterministic stand-in, keeping the
+downstream feature pipeline exercisable for any input.
 """
 
 from __future__ import annotations
@@ -44,14 +49,89 @@ def _fake_decode(blob: bytes, out_hw: tuple[int, int]) -> np.ndarray:
     return rng.random((out_hw[0], out_hw[1], 3), dtype=np.float32)
 
 
-def decode_image(blob: bytes, out_hw: tuple[int, int] = (32, 32), *, fake: bool = False):
-    if not fake:
-        # Real path would be: PIL.Image.open(io.BytesIO(blob)).resize(...)
+def encode_bmp(img: np.ndarray) -> bytes:
+    """uint8 HxWx3 (RGB) -> uncompressed 24-bit BI_RGB BMP bytes (for
+    fixtures and sinks; the inverse of _decode_bmp)."""
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    # BMP stores rows bottom-up, pixels as BGR
+    body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    data = body.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def _decode_bmp(blob: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP -> float32 HxWx3 RGB in [0, 1]."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack_from("<I", blob, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", blob, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", blob, 26)
+    if bpp != 24 or compression != 0:
         raise NotImplementedError(
-            "image decode requires PIL/cv2, not present in this container;"
-            " pass fake=True for the deterministic stand-in"
+            f"only uncompressed 24-bit BMP supported (bpp={bpp},"
+            f" compression={compression})"
         )
-    return _fake_decode(blob, out_hw)
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(blob, dtype=np.uint8, count=h * row_bytes, offset=offset)
+    rows = rows.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return (rows[:, :, ::-1].astype(np.float32)) / 255.0  # BGR -> RGB
+
+
+def _decode_ppm(blob: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval 255) -> float32 HxWx3 RGB in [0, 1]."""
+    if blob[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":  # comment to end of line
+            pos = blob.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError(f"maxval {maxval} != 255")
+    px = np.frombuffer(blob, dtype=np.uint8, count=h * w * 3, offset=pos)
+    return px.reshape(h, w, 3).astype(np.float32) / 255.0
+
+
+def _resize_nearest(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (pixel-center sampling)."""
+    h, w = img.shape[:2]
+    oh, ow = out_hw
+    ri = np.minimum(((np.arange(oh) + 0.5) * h / oh).astype(np.int64), h - 1)
+    ci = np.minimum(((np.arange(ow) + 0.5) * w / ow).astype(np.int64), w - 1)
+    return img[ri][:, ci]
+
+
+def decode_image(blob: bytes, out_hw: tuple[int, int] = (32, 32), *, fake: bool = False):
+    """Decode a BMP/PPM blob to float32 out_hw[0] x out_hw[1] x 3 RGB in
+    [0, 1] (nearest-neighbor resize). ``fake=True`` substitutes the
+    deterministic stand-in for unsupported/compressed formats."""
+    if blob[:2] == b"BM":
+        return _resize_nearest(_decode_bmp(blob), out_hw)
+    if blob[:2] == b"P6":
+        return _resize_nearest(_decode_ppm(blob), out_hw)
+    if fake:
+        return _fake_decode(blob, out_hw)
+    raise NotImplementedError(
+        "compressed image formats (PNG/JPEG/...) need codec libraries not"
+        " present in this container; supply BMP/P6-PPM or pass fake=True"
+    )
 
 
 def image_features(
@@ -60,7 +140,7 @@ def image_features(
     blob_col: str = "media",
     id_col: str = "media_id",
     out_hw: tuple[int, int] = (32, 32),
-    fake: bool = True,
+    fake: bool = False,
 ) -> DataFrame:
     """Decode + resize + mean-pool features per image via mapInPandas —
     Arrow-batched, one numpy decode per row, no driver involvement. At

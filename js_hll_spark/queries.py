@@ -700,7 +700,7 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
-    return ann.embedding_near_dups(emb, threshold=0.3, bits=2)
+    return ann.embedding_near_dups(emb, threshold=0.3, bits=2, dim=64)
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -710,7 +710,7 @@ def q_ann_lsh(spark, sf_dir):
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     queries = emb.filter(F.col("vec_id") < 5)
-    return ann.ann_lsh(emb, queries, k=5, bits=4)
+    return ann.ann_lsh(emb, queries, k=5, bits=4, dim=64)
 
 
 # --------------------------------------------------------------------------
@@ -736,6 +736,67 @@ def q_hll_ndv_events_hourly(spark, sf_dir):
         "window_start", F.date_trunc("hour", "ts")
     )
     return hll_ndv(events, "user_id", by=["window_start"], log2m=12)
+
+
+def q_image_decode_sums(spark, sf_dir):
+    """Multimodal decode, oracled end-to-end through REAL bytes: a
+    deterministic 6x8 RGB pattern per doc_id is encoded as an actual
+    24-bit BMP, decoded back through the pure-numpy BMP parser
+    (operators/multimodal.py), and reduced to integer per-channel pixel
+    sums — which DuckDB reproduces in closed form over a generated pixel
+    grid. Any header/padding/BGR/bottom-up mistake in the codec breaks
+    the hash."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .operators.multimodal import decode_image, encode_bmp
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def fn(batches):
+        import numpy as np
+
+        r = np.arange(6)[:, None, None]
+        c = np.arange(8)[None, :, None]
+        ch = np.arange(3)[None, None, :]
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"].astype("int64"):
+                img = ((int(did) * 31 + 7 * r + 3 * c + ch) % 256).astype(
+                    "uint8"
+                )
+                blob = encode_bmp(img)
+                dec = decode_image(blob, out_hw=(6, 8))
+                sums = (
+                    np.rint(dec * 255.0).astype("int64").sum(axis=(0, 1))
+                )
+                out.append((int(did), int(sums[0]), int(sums[1]), int(sums[2])))
+            yield pd.DataFrame(
+                out, columns=["media_id", "sum_r", "sum_g", "sum_b"]
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("sum_r", LongType(), False),
+            StructField("sum_g", LongType(), False),
+            StructField("sum_b", LongType(), False),
+        ]
+    )
+    return docs.mapInPandas(fn, schema=schema)
+
+
+SQL_IMAGE_DECODE = """
+SELECT d.doc_id AS media_id,
+       CAST(sum((d.doc_id*31 + 7*g.r + 3*g.c + 0) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((d.doc_id*31 + 7*g.r + 3*g.c + 1) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((d.doc_id*31 + 7*g.r + 3*g.c + 2) % 256) AS BIGINT) AS sum_b
+FROM documents d
+CROSS JOIN (SELECT rr.range AS r, cc.range AS c
+            FROM range(6) rr CROSS JOIN range(8) cc) g
+GROUP BY 1
+"""
 
 
 def q_hll_fold_union(spark, sf_dir):
@@ -981,6 +1042,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed_counts": q_events_windowed_counts,
     "streaming_ndv_hourly": q_streaming_ndv_hourly,
     "hll_fold_union": q_hll_fold_union,
+    "image_decode_sums": q_image_decode_sums,
     "sessionize": q_sessionize,
     "token_count": q_token_count,
     "token_count_bpe": q_token_count_bpe,
@@ -1027,6 +1089,7 @@ ORACLES: dict[str, str] = {
     "quantiles_exact": SQL_QUANTILES,
     "events_windowed_counts": SQL_EVENTS_WINDOWED,
     "streaming_ndv_hourly": SQL_EVENTS_WINDOWED,
+    "image_decode_sums": SQL_IMAGE_DECODE,
     "sessionize": SQL_SESSIONIZE,
     "token_count": SQL_TOKEN_COUNT,
     "token_count_bpe": SQL_TOKEN_COUNT_BPE,

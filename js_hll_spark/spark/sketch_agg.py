@@ -245,19 +245,23 @@ def heavy_hitters(
     depth: int = 5,
     width: int = 8192,
     candidate_pool: int | None = None,
-    candidates: str = "jvm",
+    candidates: str = "partition",
 ) -> DataFrame:
     """Approximate top-k frequent values: a candidate set is scored
     against the global count-min sketch; top-k by estimated count.
 
     Candidate generation (``candidates``):
-    - 'jvm' (default): two-phase HashAggregate count + orderBy/limit — the
+    - 'partition' (default, the sketch-driven scale path): each partition
+      nominates its local top values via bounded pandas value_counts
+      (mapInPandas, periodic truncation to a multiple of the pool — a
+      space-saving-style counter). Only pool x partitions candidate
+      strings ever shuffle; a true global heavy hitter is by pigeonhole a
+      local heavy hitter in at least one partition, and the global CMS
+      (not the lossy local counts) produces the reported estimates.
+    - 'jvm': exact two-phase HashAggregate count + orderBy/limit. The
       map-side partial agg collapses per-partition duplicates before the
-      shuffle, so only per-partition *unique* values move; raw strings
-      never cross into Python. This is the 100 TB path.
-    - 'partition': each partition nominates its local top values via
-      pandas value_counts (mapInPandas). Bounded memory regardless of key
-      cardinality, at the cost of shipping the column through Arrow.
+      shuffle, but the shuffle still carries the full distinct key space —
+      this is the exact twin for oracles/tests, not the 100 TB default.
 
     The CMS remains the persistable, mergeable frequency artifact either
     way; its one-sided error bounds the reported counts
@@ -284,6 +288,11 @@ def heavy_hitters(
             for pdf in batches:
                 c = pdf[_VAL].value_counts()
                 counts = c if counts is None else counts.add(c, fill_value=0)
+                if len(counts) > 8 * pool:
+                    # bound memory independent of partition key cardinality;
+                    # keeping 4x the pool preserves any value that could
+                    # still reach the partition's top-`pool`
+                    counts = counts.nlargest(4 * pool)
             if counts is not None:
                 top = counts.nlargest(pool)
                 yield pd.DataFrame({"value": top.index.astype(str)})

@@ -1,5 +1,6 @@
-"""Multimodal plumbing tests: the decode step is stubbed (no media libs in
-this container), the Spark-side schema/batching/distribution is real."""
+"""Multimodal tests: real pure-numpy BMP/PPM decode (round-trip exact),
+nearest-neighbor resize, and the Spark-side schema/batching/distribution.
+Compressed formats (PNG/JPEG) remain gated behind fake=True."""
 
 from __future__ import annotations
 
@@ -40,3 +41,61 @@ def test_frame_sample_plan(spark):
     out = frame_sample_plan(vids, every_ms=1000).collect()
     got = {(r["media_id"], r["frame_ts_ms"]) for r in out}
     assert got == {("v1", 0), ("v1", 1000), ("v1", 2000), ("v1", 3000), ("v2", 0)}
+
+
+def test_bmp_roundtrip_exact():
+    """encode_bmp -> decode_image reproduces pixels exactly, including
+    non-4-byte-aligned row widths (w=5 -> 15-byte rows padded to 16)."""
+    import numpy as np
+
+    from js_hll_spark.operators.multimodal import encode_bmp
+
+    rng = np.random.default_rng(7)
+    for h, w in [(6, 8), (3, 5), (1, 1), (17, 2)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        dec = decode_image(encode_bmp(img), out_hw=(h, w))
+        np.testing.assert_array_equal(
+            np.rint(dec * 255.0).astype(np.uint8), img
+        )
+
+
+def test_ppm_decode_with_comment():
+    import numpy as np
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    blob = b"P6\n# a comment\n3 2\n255\n" + img.tobytes()
+    dec = decode_image(blob, out_hw=(2, 3))
+    np.testing.assert_array_equal(np.rint(dec * 255.0).astype(np.uint8), img)
+
+
+def test_resize_nearest_downsample():
+    import numpy as np
+
+    from js_hll_spark.operators.multimodal import _resize_nearest
+
+    img = np.arange(16, dtype=np.float32).reshape(4, 4, 1)
+    out = _resize_nearest(img, (2, 2))
+    # pixel-center sampling picks rows/cols 1 and 3
+    np.testing.assert_array_equal(out[:, :, 0], [[5.0, 7.0], [13.0, 15.0]])
+
+
+def test_image_features_real_bmp_default_path(spark):
+    """The default (non-fake) path works end to end on real BMP bytes —
+    no NotImplementedError anywhere in the pipeline."""
+    import numpy as np
+    import pandas as pd
+
+    from js_hll_spark.operators.multimodal import encode_bmp
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (str(i), encode_bmp(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)))
+        for i in range(20)
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "media"])
+    )
+    out = image_features(media, out_hw=(4, 4)).collect()
+    assert len(out) == 20
+    assert all(len(r["features"]) == 3 for r in out)
+    assert all(0.0 <= v <= 1.0 for r in out for v in r["features"])

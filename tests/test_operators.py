@@ -91,11 +91,11 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     )
     queries = emb.filter(F.col("vec_id") < 10)
     exact = ann.ann_bruteforce(emb, queries, k=5)
-    approx = ann.ann_lsh(emb, queries, k=5, bits=4)
+    approx = ann.ann_lsh(emb, queries, k=5, bits=4, dim=64)
     hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
     assert hits / exact.count() > 0.3  # 4-bit buckets: partial recall by design
     # near-dup pairs are symmetric and above threshold
-    nd = ann.embedding_near_dups(emb, threshold=0.5, bits=4)
+    nd = ann.embedding_near_dups(emb, threshold=0.5, bits=4, dim=64)
     assert nd.filter(F.col("id_a") >= F.col("id_b")).count() == 0
 
 
