@@ -84,55 +84,77 @@ def extract_text(html: bytes) -> str:
     return collapsed.decode("utf-8")
 
 
-def _make_batch(ids: np.ndarray, n_hosts: int, n_rows: int) -> pd.DataFrame:
+_ALL_COLS = ("url", "warc_ts", "html", "text", "lang")
+
+
+def _make_batch(
+    ids: np.ndarray,
+    n_hosts: int,
+    n_rows: int,
+    columns: tuple[str, ...] = _ALL_COLS,
+) -> pd.DataFrame:
+    """Generate the requested columns only — every column is a pure
+    function of the row id, so subsetting is free and byte-identical to
+    the full generation (html/text carry the per-row Python cost; url and
+    lang are fully vectorized)."""
+    cols = frozenset(columns)
     # duplicate urls: ~20% of rows (with id>0) point at an earlier row
     is_dup = (_u01(ids, 1) < 0.20) & (ids > 0)
     ref = np.floor(_u01(ids, 2) * ids).astype(np.int64)
     canon = np.where(is_dup, ref, ids)
 
-    host_idx = _zipf_index(_u01(canon, 3), n_hosts)
-    path_a = _stream(canon, 4) % _U(997)
-    lang_idx = np.searchsorted(_LANG_CUM, _u01(canon, 6), side="right").clip(
-        0, len(LANGS) - 1
-    )
-    n_paras = 1 + (_stream(canon, 7) % _U(5)).astype(np.int64)
-    # warc_ts: uniform over 30 days from 2026-01-01, truncated to seconds
-    base = np.int64(1767225600)  # 2026-01-01T00:00:00Z
-    ts = base + (_stream(ids, 8) % _U(30 * 86400)).astype(np.int64)
-
-    urls, htmls, texts = [], [], []
-    word_pick = _stream(canon, 9)
-    for i in range(len(ids)):
-        c = int(canon[i])
+    data: dict[str, object] = {}
+    if "url" in cols:
+        host_idx = _zipf_index(_u01(canon, 3), n_hosts)
+        path_a = (_stream(canon, 4) % _U(997)).astype(np.int64)
         # canon in the path makes urls globally unique per canonical id,
         # so exact NDV(url) == count of distinct canonical ids
-        url = f"https://host{int(host_idx[i])}.example.com/p/{int(path_a[i])}/{c}"
-        urls.append(url)
-        with np.errstate(over="ignore"):
-            rng_words = _splitmix64(
-                np.arange(c, c + 40, dtype=np.int64).astype(_U) + word_pick[i]
-            )
-        words = [_WORDS[int(w % _U(len(_WORDS)))] for w in rng_words]
-        title = " ".join(words[:4])
-        paras = "".join(
-            f"<p>{' '.join(words[4 + 6 * p : 10 + 6 * p])}.</p>"
-            for p in range(int(n_paras[i]))
+        data["url"] = (
+            "https://host"
+            + pd.Series(host_idx.astype(np.int64)).astype(str)
+            + ".example.com/p/"
+            + pd.Series(path_a).astype(str)
+            + "/"
+            + pd.Series(canon).astype(str)
         )
-        html = (
-            f"<html><head><title>{title}</title></head>"
-            f"<body><h1>{title}</h1>{paras}</body></html>"
-        ).encode("utf-8")
-        htmls.append(html)
-        texts.append(extract_text(html))
-    return pd.DataFrame(
-        {
-            "url": urls,
-            "warc_ts": pd.to_datetime(ts, unit="s"),
-            "html": htmls,
-            "text": texts,
-            "lang": [LANGS[int(j)] for j in lang_idx],
-        }
-    )
+    if "warc_ts" in cols:
+        # warc_ts: uniform over 30 days from 2026-01-01, whole seconds
+        base = np.int64(1767225600)  # 2026-01-01T00:00:00Z
+        ts = base + (_stream(ids, 8) % _U(30 * 86400)).astype(np.int64)
+        data["warc_ts"] = pd.to_datetime(ts, unit="s")
+    if cols & {"html", "text"}:
+        n_paras = 1 + (_stream(canon, 7) % _U(5)).astype(np.int64)
+        htmls, texts = [], []
+        word_pick = _stream(canon, 9)
+        for i in range(len(ids)):
+            c = int(canon[i])
+            with np.errstate(over="ignore"):
+                rng_words = _splitmix64(
+                    np.arange(c, c + 40, dtype=np.int64).astype(_U) + word_pick[i]
+                )
+            words = [_WORDS[int(w % _U(len(_WORDS)))] for w in rng_words]
+            title = " ".join(words[:4])
+            paras = "".join(
+                f"<p>{' '.join(words[4 + 6 * p : 10 + 6 * p])}.</p>"
+                for p in range(int(n_paras[i]))
+            )
+            html = (
+                f"<html><head><title>{title}</title></head>"
+                f"<body><h1>{title}</h1>{paras}</body></html>"
+            ).encode("utf-8")
+            htmls.append(html)
+            texts.append(extract_text(html))
+        if "html" in cols:
+            data["html"] = htmls
+        if "text" in cols:
+            data["text"] = texts
+    if "lang" in cols:
+        lang_idx = np.searchsorted(
+            _LANG_CUM, _u01(canon, 6), side="right"
+        ).clip(0, len(LANGS) - 1)
+        data["lang"] = [LANGS[int(j)] for j in lang_idx]
+    # preserve canonical column order regardless of the requested subset
+    return pd.DataFrame({c: data[c] for c in _ALL_COLS if c in cols})
 
 
 WEBTEXT_SCHEMA = StructType(
@@ -152,20 +174,29 @@ def webtext_table(
     n_rows: int,
     *,
     partitions: int | None = None,
+    columns: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Generate the CC-style table distributed (mapInPandas over
-    spark.range — each partition generates its own id span)."""
+    spark.range — each partition generates its own id span). ``columns``
+    restricts generation to a subset (plus row_id) — manual column
+    pruning, since Catalyst cannot prune inside the generator UDF; the
+    subset is byte-identical to the full table's columns."""
     n_hosts = max(10, n_rows // 1000)
     rng = spark.range(n_rows, numPartitions=partitions)
+    cols = tuple(columns) if columns else _ALL_COLS
+    schema = StructType(
+        [WEBTEXT_SCHEMA["row_id"]]
+        + [WEBTEXT_SCHEMA[c] for c in _ALL_COLS if c in cols]
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].to_numpy()
-            out = _make_batch(ids, n_hosts, n_rows)
+            out = _make_batch(ids, n_hosts, n_rows, cols)
             out.insert(0, "row_id", ids)
             yield out
 
-    return rng.mapInPandas(gen, schema=WEBTEXT_SCHEMA)
+    return rng.mapInPandas(gen, schema=schema)
 
 
 def exact_ndv_urls(spark: SparkSession, n_rows: int) -> int:

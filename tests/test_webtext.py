@@ -148,3 +148,14 @@ def test_resume_after_partial_stage_write(spark, tmp_path):
     out = runner.run("s1", build)
     assert calls["n"] == 1
     assert out.count() == 99  # rebuilt, stale data replaced
+
+
+def test_column_subset_is_byte_identical(spark):
+    full = webtext_table(spark, 3000, partitions=3).select(
+        "row_id", "url", "lang"
+    )
+    subset = webtext_table(spark, 3000, partitions=5, columns=("url", "lang"))
+    assert subset.columns == ["row_id", "url", "lang"]
+    a = sorted(map(tuple, full.collect()))
+    b = sorted(map(tuple, subset.collect()))
+    assert a == b
