@@ -384,6 +384,7 @@ def hll_ndv(
     regwidth: int = 5,
     hash_method: str = "xxhash64",
     tree_fanin: int | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """Approximate NDV(value_col) per group: (keys..., ndv double)."""
     out = hll_sketch(
@@ -396,6 +397,7 @@ def hll_ndv(
         tree_fanin=tree_fanin,
         estimate=True,
         keep_sketch=False,
+        engine=engine,
     )
     return out.select(*by, "ndv")
 

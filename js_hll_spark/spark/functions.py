@@ -60,3 +60,19 @@ def hll_fold_udf(sketches: pd.Series, log2m: pd.Series) -> pd.Series:
             for b, k in zip(sketches, log2m)
         ]
     )
+
+
+def register_sql_functions(spark) -> None:
+    """Expose the sketch column functions to SQL:
+
+        SELECT lang, hll_cardinality(sketch) FROM sketches
+        SELECT hll_cardinality(hll_union_pair(a.sketch, b.sketch)) ...
+        SELECT hll_to_hex(sketch), hll_fold(sketch, 11) ...
+
+    Mirrors the reference's postgres-ecosystem usage (hex in a database
+    column, src/hll.js:160-176) for users who live in spark.sql."""
+    spark.udf.register("hll_cardinality", hll_cardinality_udf)
+    spark.udf.register("hll_to_hex", hll_to_hex_udf)
+    spark.udf.register("hll_from_hex", hll_from_hex_udf)
+    spark.udf.register("hll_union_pair", hll_union_pair_udf)
+    spark.udf.register("hll_fold", hll_fold_udf)

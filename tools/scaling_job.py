@@ -13,10 +13,16 @@ the master provides, and prints one JSON line with wall time and docs/sec.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 from pyspark.sql import SparkSession, functions as F
+
+# 'sql' (Catalyst registers, default) or 'python' (mapInPandas harness) —
+# both produce bit-identical sketches; see BENCH/BASELINE.md for why both
+# are measured
+ENGINE = os.environ.get("SCALING_ENGINE", "auto")
 
 
 def main(input_path: str, cores: int) -> None:
@@ -49,7 +55,9 @@ def main(input_path: str, cores: int) -> None:
     R_NDV, R_GROUPED = 6, 3
 
     def run_ndv():
-        return hll_ndv(replicate(pages, R_NDV), "url", log2m=13).first()["ndv"]
+        return hll_ndv(
+            replicate(pages, R_NDV), "url", log2m=13, engine=ENGINE
+        ).first()["ndv"]
 
     def run_grouped():
         hll_sketch(
@@ -57,6 +65,7 @@ def main(input_path: str, cores: int) -> None:
             "url",
             by=["lang", "day"],
             log2m=13,
+            engine=ENGINE,
         ).collect()
 
     def run_tokens():
@@ -72,9 +81,9 @@ def main(input_path: str, cores: int) -> None:
     # job amortizes it over hours
     warm = spark.read.parquet(input_path).limit(200_000).cache()
     warm.count()
-    hll_ndv(warm, "url", log2m=13).first()
+    hll_ndv(warm, "url", log2m=13, engine=ENGINE).first()
     hll_sketch(warm.withColumn("day", F.to_date("warc_ts")), "url",
-               by=["lang", "day"], log2m=13).collect()
+               by=["lang", "day"], log2m=13, engine=ENGINE).collect()
     heavy_hitters(
         warm.select(F.explode(F.split(F.lower("text"), " ")).alias("tok")),
         "tok", k=20, width=16384).collect()
@@ -107,6 +116,7 @@ def main(input_path: str, cores: int) -> None:
                 "docs_per_sec": round((n_rows * (R_NDV + R_GROUPED + 1)) / total, 1),
                 "docs_per_sec_ndv": round(n_rows * R_NDV / t_ndv, 1),
                 "replication": {"ndv": R_NDV, "grouped": R_GROUPED},
+                "engine": ENGINE,
             }
         )
     )
