@@ -187,3 +187,147 @@ def embedding_near_dups(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def _kmeans(sample: np.ndarray, nlist: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic Lloyd's k-means on L2-normalized vectors (spherical
+    k-means — argmax cosine == argmin L2 on the unit sphere). Strided
+    init over the sorted sample keeps it seed-stable."""
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    idx = (np.arange(nlist) * len(x)) // nlist
+    cent = x[idx].copy()
+    for _ in range(iters):
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(x @ cent.T, axis=1)
+        for j in range(nlist):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def ann_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    dim: int,
+    train_sample: int = 4096,
+    iters: int = 8,
+    round_to: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) cosine top-k: a coarse spherical-k-means
+    quantizer partitions vectors into ``nlist`` lists; each query probes
+    its ``nprobe`` nearest lists and exact cosine re-ranks only those
+    candidates.
+
+    Index build trains the quantizer on a bounded, DETERMINISTIC sample
+    (first ``train_sample`` rows by id — one driver action per index
+    build, the standard IVF train step, amortized over every query).
+    Assignment runs as a vectorized numpy matmul per Arrow batch; at
+    10^12 rows the candidate join keys on the list id, so the shuffle is
+    bounded by list sizes — the classic IVF trade (recall vs nprobe).
+    Returns (query_id, neighbor_id, cos, rank)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.window import Window
+
+    sample = np.array(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in vectors.select(vec_col)
+            .orderBy(F.col(id_col))
+            .limit(train_sample)
+            .collect()
+        ]
+    )
+    cent = _kmeans(sample, nlist, iters, seed=0)
+    cent_t = cent.T.copy()  # (dim, nlist)
+
+    def assign_fn(batches):
+        for pdf in batches:
+            x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "list_id": np.argmax(x @ cent_t, axis=1).astype(np.int64),
+                }
+            )
+
+    v_in = vectors.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    assign_schema = StructType(
+        [
+            StructField("__id", vectors.schema[id_col].dataType, False),
+            StructField("list_id", LongType(), False),
+        ]
+    )
+    assigned = v_in.mapInPandas(assign_fn, schema=assign_schema)
+    v = (
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vv")
+        )
+        .join(
+            assigned.withColumnRenamed("__id", "neighbor_id"), "neighbor_id"
+        )
+    )
+
+    # queries probe their nprobe nearest lists (numpy once per batch)
+    def probe_fn(batches):
+        for pdf in batches:
+            x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(x @ cent_t), axis=1)[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"].repeat(nprobe),
+                    "list_id": order.reshape(-1).astype(np.int64),
+                }
+            )
+
+    q_in = queries.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    q_lists = q_in.mapInPandas(
+        probe_fn,
+        schema=StructType(
+            [
+                StructField("__id", queries.schema[id_col].dataType, False),
+                StructField("list_id", LongType(), False),
+            ]
+        ),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).join(
+        q_lists.withColumnRenamed("__id", "query_id"), "query_id"
+    )
+
+    scored = (
+        v.join(F.broadcast(q), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__vv")), round_to).alias("cos"),
+        )
+        # a vector can meet the same query through one list only, but a
+        # query probing nprobe lists meets each list's vectors once —
+        # pairs are already unique; still dedup defensively
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

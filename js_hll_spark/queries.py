@@ -703,6 +703,16 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
     return ann.embedding_near_dups(emb, threshold=0.3, bits=2, dim=64)
 
 
+def q_ann_ivf(spark, sf_dir):
+    # rows-only: list assignment depends on the trained coarse quantizer;
+    # recall vs brute force gated in pytest
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann.ann_ivf(emb, queries, k=5, nlist=8, nprobe=3, dim=64)
+
+
 def q_ann_lsh(spark, sf_dir):
     # rows-only: bucketing depends on seeded hyperplanes; recall asserted
     # against the brute-force baseline in pytest
@@ -1059,6 +1069,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_fast": q_simhash_fast,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     "sink_roundtrip": q_sink_roundtrip,

@@ -228,3 +228,26 @@ def test_text_simhash64_matches_dedup_signatures(spark, pages):
     assert a == b
     # at least one signature exercises the sign bit across the corpus
     assert any(s < 0 for _, s in a)
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+        .cache()
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = ann.ann_bruteforce(emb, queries, k=5)
+    # probing half the lists must recover most true neighbors
+    approx = ann.ann_ivf(emb, queries, k=5, nlist=8, nprobe=4, dim=64)
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    assert hits / exact.count() >= 0.5
+    # probing every list IS brute force (same ids, modulo cos ties)
+    full = ann.ann_ivf(emb, queries, k=5, nlist=8, nprobe=8, dim=64)
+    full_hits = exact.join(full, ["query_id", "neighbor_id"], "left_semi").count()
+    assert full_hits == exact.count()
+    # deterministic: a second build returns the identical result
+    again = ann.ann_ivf(emb, queries, k=5, nlist=8, nprobe=4, dim=64)
+    assert sorted(map(tuple, approx.collect())) == sorted(
+        map(tuple, again.collect())
+    )
