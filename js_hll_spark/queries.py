@@ -901,6 +901,56 @@ def q_hll_sketch_rollup(spark, sf_dir):
     return hll_rollup(fine, ["lang"]).select("lang", "ndv")
 
 
+def q_checkpoint_pipeline(spark, sf_dir):
+    """Checkpoint-resumable staged pipeline, driver-visible (north rule:
+    'resumable from checkpoint with per-partition lineage + metrics'):
+    stage 1 tokenizes documents and persists with a lineage manifest;
+    stage 2 aggregates per lang from stage 1's parquet. The whole runner
+    is then invoked a second time — both stages must RESUME from their
+    manifests without rebuilding (asserted), and the final aggregate is
+    exact, so the resumed pipeline oracles against plain SQL."""
+    import tempfile
+
+    from .plans.checkpoint import StageRunner
+
+    base = tempfile.mkdtemp(prefix="ckpt_pipe_")
+    builds = {"tokens": 0, "by_lang": 0}
+
+    def run_pipeline():
+        runner = StageRunner(spark, base)
+
+        def stage_tokens():
+            builds["tokens"] += 1
+            return _t(spark, sf_dir, "documents").select(
+                "doc_id", "lang", text.token_count("text").alias("n_tokens")
+            )
+
+        runner.run("tokens", stage_tokens)
+
+        def stage_by_lang():
+            builds["by_lang"] += 1
+            toks = spark.read.parquet(f"{base}/stage=tokens")
+            return toks.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("total_tokens"),
+            )
+
+        return runner.run("by_lang", stage_by_lang, inputs=["tokens"])
+
+    run_pipeline()
+    out = run_pipeline()  # second run must resume, not rebuild
+    if builds != {"tokens": 1, "by_lang": 1}:
+        raise AssertionError(f"resume failed: stages rebuilt {builds}")
+    return out.select("lang", "n_docs", "total_tokens")
+
+
+SQL_CHECKPOINT = f"""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(string_split({_SQL_NORM}, ' '))) AS BIGINT) AS total_tokens
+FROM documents GROUP BY lang
+"""
+
+
 def q_sink_roundtrip(spark, sf_dir):
     """Sink surface: write documents partitioned by lang (Hive layout,
     the Iceberg stand-in), read back through the partitioned scan, and
@@ -1073,6 +1123,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     "sink_roundtrip": q_sink_roundtrip,
+    "checkpoint_pipeline": q_checkpoint_pipeline,
     "heavy_hitters_exact": q_heavy_hitters_exact,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "quantiles_kll": q_quantiles_kll,
@@ -1115,6 +1166,7 @@ ORACLES: dict[str, str] = {
     "ann_bruteforce": SQL_ANN,
     "embedding_near_dups_exact": SQL_EMB_NEAR_DUPS,
     "sink_roundtrip": SQL_SINK,
+    "checkpoint_pipeline": SQL_CHECKPOINT,
     "heavy_hitters_exact": SQL_HEAVY_HITTERS,
     "semijoin_membership": SQL_SEMIJOIN,
     "user_overlap_exact": SQL_USER_OVERLAP,
