@@ -57,7 +57,13 @@ def main(input_path: str, cores: int) -> None:
             out = out.unionByName(df)
         return out
 
-    R_NDV, R_GROUPED = 6, 3
+    # scan-replication amplifies short sql-engine runtimes so timings are
+    # sustained-throughput, not overhead; the python engine is compute-
+    # bound already and is measured at 1x (r1 protocol) — at 6x the
+    # repeated JVM parquet decode becomes the bottleneck and the harness'
+    # own scaling is no longer what's measured
+    R_NDV = int(os.environ.get("SCALING_REPL_NDV", 6))
+    R_GROUPED = int(os.environ.get("SCALING_REPL_GROUPED", 3))
 
     def run_ndv():
         return hll_ndv(
