@@ -28,6 +28,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_t + fan-out: the driver fixtures ship ONE row group per file, so
+    the scan is a single split and every pre-shuffle stage would run on
+    one core. Compute-heavy queries repartition first (fixture-shape
+    correction — a real table at scale arrives in thousands of splits;
+    pure-relational queries keep the pristine pushdown plan instead)."""
+    return _t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _ship(spark: SparkSession) -> None:
     """Idempotently make the package importable on executors (the driver
     may have created the session without our factory)."""
@@ -289,7 +300,7 @@ FROM gaps GROUP BY user_id
 
 
 def q_token_count(spark, sf_dir):
-    return _t(spark, sf_dir, "documents").select(
+    return _t_wide(spark, sf_dir, "documents").select(
         "doc_id", text.token_count("text").alias("n_tokens")
     )
 
@@ -308,7 +319,7 @@ def q_token_count_bpe(spark, sf_dir):
     punctuation) — same RE2-compatible pattern in both engines."""
     # NOTE: F.expr would route the pattern through a SQL string literal,
     # where Spark unescapes \s -> s; the python API keeps it verbatim
-    return _t(spark, sf_dir, "documents").select(
+    return _t_wide(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(
             F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PATTERN), F.lit(0))
@@ -324,7 +335,7 @@ FROM documents
 
 
 def q_quality_score(spark, sf_dir):
-    return _t(spark, sf_dir, "documents").select(
+    return _t_wide(spark, sf_dir, "documents").select(
         "doc_id", text.quality_score("text").alias("quality")
     )
 
@@ -347,7 +358,7 @@ FROM documents
 
 
 def q_fingerprint(spark, sf_dir):
-    return _t(spark, sf_dir, "documents").select(
+    return _t_wide(spark, sf_dir, "documents").select(
         "doc_id", text.fingerprint("text").alias("fingerprint")
     )
 
@@ -359,7 +370,7 @@ FROM documents
 
 
 def q_lang_id(spark, sf_dir):
-    return _t(spark, sf_dir, "documents").select(
+    return _t_wide(spark, sf_dir, "documents").select(
         "doc_id", text.lang_id("text").alias("lang_pred")
     )
 
@@ -389,7 +400,7 @@ SELECT doc_id, {_LANG_CASE} AS lang_pred FROM documents
 
 
 def q_dedup_exact(spark, sf_dir):
-    return dedup.dedup_exact(_t(spark, sf_dir, "documents"))
+    return dedup.dedup_exact(_t_wide(spark, sf_dir, "documents"))
 
 
 SQL_DEDUP_EXACT = f"""
@@ -402,7 +413,7 @@ FROM documents GROUP BY 1
 
 def q_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_candidates(
-        _t(spark, sf_dir, "documents"), k=8, bands=4, shingle_n=3
+        _t_wide(spark, sf_dir, "documents"), k=8, bands=4, shingle_n=3
     )
 
 
@@ -439,7 +450,7 @@ SQL_MINHASH_LSH = _sql_minhash(8, 4, 3)
 
 def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard(
-        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.2
+        _t_wide(spark, sf_dir, "documents"), shingle_n=3, threshold=0.2
     )
 
 
@@ -468,7 +479,7 @@ WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
 
 
 def q_dedup_keep_rows(spark, sf_dir):
-    return dedup.dedup_keep_rows(_t(spark, sf_dir, "documents")).select(
+    return dedup.dedup_keep_rows(_t_wide(spark, sf_dir, "documents")).select(
         "doc_id", "lang", "n_chars"
     )
 
@@ -488,7 +499,7 @@ def q_minhash_lsh_fast(spark, sf_dir):
     # rows-only: xxhash64 signatures are Spark-specific; candidate-set
     # quality vs the md5 variant is asserted in pytest
     return dedup.minhash_lsh_candidates_fast(
-        _t(spark, sf_dir, "documents"), k=8, bands=4, shingle_n=3
+        _t_wide(spark, sf_dir, "documents"), k=8, bands=4, shingle_n=3
     )
 
 
@@ -564,7 +575,7 @@ def q_dedup_pipeline(spark, sf_dir):
     n-gram Jaccard verification -> pairs >= 0.5. Both tiers reproduce in
     DuckDB (md5 signatures + exact set math), so the whole pipeline is
     oracle-checked."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     cand = dedup.minhash_lsh_candidates(docs, k=8, bands=4, shingle_n=3)
     return dedup.ngram_jaccard(
         docs, pairs=cand, shingle_n=3, threshold=0.5
@@ -615,7 +626,7 @@ WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
 
 def q_simhash_signatures(spark, sf_dir):
     # rows-only: xxhash64 does not exist in DuckDB
-    return dedup.simhash_signatures(_t(spark, sf_dir, "documents"))
+    return dedup.simhash_signatures(_t_wide(spark, sf_dir, "documents"))
 
 
 def q_simhash_fast(spark, sf_dir):
@@ -623,9 +634,7 @@ def q_simhash_fast(spark, sf_dir):
     # sf parquet ships as one row group -> repartition so the vectorized
     # python stage uses every core
     _ship(spark)
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _t_wide(spark, sf_dir, "documents")
     return dedup.simhash_signatures_fast(docs)
 
 
@@ -762,7 +771,7 @@ def q_image_decode_sums(spark, sf_dir):
     from .operators.multimodal import decode_image, encode_bmp
 
     _ship(spark)
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t_wide(spark, sf_dir, "documents").select("doc_id")
 
     def fn(batches):
         import numpy as np
@@ -817,7 +826,7 @@ def q_hll_fold_union(spark, sf_dir):
     pytest pins fold==direct-build on dense registers and the
     reference_compat zero-register contract."""
     _ship(spark)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     hi = hll_sketch(
         docs.filter(F.col("doc_id") % 2 == 0),
         "text",
@@ -977,7 +986,7 @@ FROM documents GROUP BY lang
 
 def q_heavy_hitters_exact(spark, sf_dir):
     """Exact twin of the CMS heavy-hitter pipeline (top tokens)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     toks = docs.select(F.explode(text.tokens("text")).alias("tok"))
     return (
         toks.groupBy("tok")
@@ -1000,7 +1009,7 @@ def q_heavy_hitters_cms(spark, sf_dir):
     _ship(spark)
     from .spark.sketch_agg import heavy_hitters
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     toks = docs.select(F.explode(text.tokens("text")).alias("tok"))
     return heavy_hitters(toks, "tok", k=20, width=16384)
 
