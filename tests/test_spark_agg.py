@@ -276,3 +276,35 @@ def test_sql_registered_functions(spark, documents):
     # a fold property (fold==direct-build holds on dense input only —
     # test_fold_equals_direct_build pins that), so only sanity-check it
     assert 0 < row["ndv_folded"] <= row["ndv_a"]
+
+
+def test_streaming_assembly_matches_pergroup_path(spark, events):
+    """The batched mapInPandas assembly must be byte-identical to a
+    per-group build, including keys that straddle Arrow batch boundaries
+    (forced with a tiny batch size) and high-cardinality keys."""
+    from js_hll_spark.spark.agg import hll_sketch
+
+    small = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = {
+            r["user_id"]: (bytes(r["sketch"]), r["ndv"], r["rows_seen"])
+            for r in hll_sketch(
+                events.limit(3000), "event_type", by=["user_id"], log2m=10,
+                engine="sql",
+            ).collect()
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", small
+        )
+    ref = {
+        r["user_id"]: (bytes(r["sketch"]), r["ndv"], r["rows_seen"])
+        for r in hll_sketch(
+            events.limit(3000), "event_type", by=["user_id"], log2m=10,
+            engine="python",
+        ).collect()
+    }
+    assert got.keys() == ref.keys() and len(got) > 50
+    for k in got:
+        assert got[k] == ref[k], k
