@@ -491,4 +491,53 @@ def hll_rollup(
     ]
     if estimate:
         fields.append(StructField("ndv", DoubleType(), False))
-    return df.groupBy(*keys).applyInPandas(fn, schema=StructType(fields))
+    if not keys:
+        return df.groupBy(*keys).applyInPandas(fn, schema=StructType(fields))
+
+    # keyed rollup: stream whole Arrow batches through one python call
+    # (hash repartition + in-partition sort, union with carry across
+    # batch boundaries) instead of one applyInPandas call per group —
+    # per-group call overhead dominates at high rollup-key cardinality
+    out_cols = [f.name for f in fields]
+    sorted_df = df.select(*keys, sketch_col).repartition(*keys).sortWithinPartitions(
+        *keys
+    )
+
+    def stream(batches):
+        import numpy as np
+
+        cur: tuple | None = None
+        acc: HLL | None = None
+
+        def finish_row():
+            row = list(cur) + [acc.to_bytes()]
+            if estimate:
+                row.append(acc.algorithm_cardinality())
+            return tuple(row)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            kcols = [pdf[k] for k in keys]
+            change = np.zeros(len(pdf), dtype=bool)
+            change[0] = True
+            for kc in kcols:
+                vals = kc.to_numpy()
+                change[1:] |= vals[1:] != vals[:-1]
+            done = []
+            blobs = pdf[sketch_col]
+            for i in range(len(pdf)):
+                if change[i]:
+                    key = tuple(kc.iloc[i] for kc in kcols)
+                    if cur is not None and key != cur:
+                        done.append(finish_row())
+                        acc = None
+                    cur = key
+                s = HLL.from_bytes(bytes(blobs.iloc[i]))
+                acc = s if acc is None else acc.union(s)
+            if done:
+                yield pd.DataFrame(done, columns=out_cols)
+        if cur is not None:
+            yield pd.DataFrame([finish_row()], columns=out_cols)
+
+    return sorted_df.mapInPandas(stream, schema=StructType(fields))
