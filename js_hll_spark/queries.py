@@ -749,6 +749,21 @@ def q_hll_ndv_by_lang(spark, sf_dir):
     )
 
 
+def q_hll_ndv_murmur3(spark, sf_dir):
+    """AK hashing convention driver-visible: murmur3 x64-128 (the
+    reference ecosystem's hash, js-murmur3-128) over the string column,
+    vectorized in the worker — rows-only (approximate); bit-parity of
+    the hash itself is pinned against golden vectors in pytest."""
+    _ship(spark)
+    return hll_ndv(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        by=["lang"],
+        log2m=12,
+        hash_method="murmur3",
+    )
+
+
 def q_hll_ndv_events_hourly(spark, sf_dir):
     _ship(spark)
     events = _t(spark, sf_dir, "events").withColumn(
@@ -1144,6 +1159,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_membership": q_bloom_membership,
     "hll_ndv_global": q_hll_ndv_global,
     "hll_ndv_by_lang": q_hll_ndv_by_lang,
+    "hll_ndv_murmur3": q_hll_ndv_murmur3,
     "hll_ndv_events_hourly": q_hll_ndv_events_hourly,
     "hll_sketch_rollup": q_hll_sketch_rollup,
 }
