@@ -47,10 +47,16 @@ def main() -> None:
         fn()
         return time.perf_counter() - t0
 
+    def median3(fn):
+        # single-shot timings on this box vary +-40% with host load;
+        # medians make round-over-round comparisons signal, not noise
+        ts = sorted(timed(fn) for _ in range(3))
+        return ts[1]
+
     results: dict[str, float] = {}
 
     # flagship: global NDV over the largest column set
-    results["hll_ndv_global"] = timed(
+    results["hll_ndv_global"] = median3(
         lambda: hll_ndv(lineitem, "l_orderkey", log2m=13).collect()
     )
 
@@ -66,10 +72,6 @@ def main() -> None:
     ).cache()
     n_pages = pages.count()  # materializes the cache, untimed
 
-    def median3(fn):
-        ts = sorted(timed(fn) for _ in range(3))
-        return ts[1]
-
     results["webtext_ndv_url"] = median3(
         lambda: hll_ndv(pages, "url", log2m=13).collect()
     )
@@ -78,7 +80,7 @@ def main() -> None:
     )
     webtext_docs_per_sec = n_pages / results["webtext_ndv_url"]
     pages.unpersist()
-    results["hll_ndv_grouped"] = timed(
+    results["hll_ndv_grouped"] = median3(
         lambda: hll_sketch(
             lineitem, "l_partkey", by=["l_returnflag", "l_linestatus"], log2m=13
         ).collect()
@@ -107,7 +109,7 @@ def main() -> None:
     for name in bench_queries:
         fn = QUERIES[name]
         try:
-            results[name] = timed(lambda f=fn: f(spark, SF_DIR).collect())
+            results[name] = median3(lambda f=fn: f(spark, SF_DIR).collect())
         except Exception as e:  # keep the bench line intact
             print(f"bench {name} failed: {e}", file=sys.stderr)
             results[name] = -1.0
