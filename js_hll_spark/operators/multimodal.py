@@ -183,3 +183,79 @@ def frame_sample_plan(
             F.sequence(F.lit(0), F.col(duration_col), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono PCM samples -> RIFF/WAVE bytes (fixtures and sinks;
+    the inverse of decode_wav)."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    out = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(out)) + out
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 mono -> (float32 samples in [-1, 1], sample_rate).
+    Walks the chunk list, so extra chunks (LIST/INFO) are tolerated."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", blob, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", blob, body
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM16 mono supported (fmt={audio_fmt},"
+                    f" ch={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = np.frombuffer(blob, dtype="<i2", count=size // 2, offset=body)
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return data.astype(np.float32) / 32768.0, rate
+
+
+def audio_features(
+    df: DataFrame,
+    *,
+    blob_col: str = "media",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Decode + featurize per clip via mapInPandas: duration, RMS energy,
+    zero-crossing count — the audio twin of image_features."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                x, rate = decode_wav(bytes(blob))
+                rows.append(
+                    (
+                        mid,
+                        len(x) / rate,
+                        float(np.sqrt(np.mean(np.square(x, dtype=np.float64)))),
+                        int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "duration_s", "rms", "zero_crossings"]
+            )
+
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, False),
+            StructField("duration_s", DoubleType(), False),
+            StructField("rms", DoubleType(), False),
+            StructField("zero_crossings", LongType(), False),
+        ]
+    )
+    return df.mapInPandas(fn, schema=schema)

@@ -833,6 +833,55 @@ GROUP BY 1
 """
 
 
+def q_audio_decode_sums(spark, sf_dir):
+    """Audio twin of image_decode_sums: a deterministic 256-sample PCM16
+    pattern per doc_id is encoded as a real RIFF/WAVE blob, decoded back
+    through the pure-numpy WAV parser, and reduced to an integer
+    sum-of-absolute-samples that DuckDB reproduces in closed form. Any
+    chunk-walk/endianness/scaling mistake breaks the hash."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .operators.multimodal import decode_wav, encode_wav
+
+    _ship(spark)
+    docs = _t_wide(spark, sf_dir, "documents").select("doc_id")
+
+    def fn(batches):
+        import numpy as np
+
+        i = np.arange(256, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"].astype("int64"):
+                s = ((int(did) * 13 + 7 * i) % 65536 - 32768).astype(np.int16)
+                x, rate = decode_wav(encode_wav(s, 16000))
+                back = np.rint(x.astype(np.float64) * 32768.0).astype(np.int64)
+                out.append((int(did), int(np.abs(back).sum()), len(back)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "sum_abs", "n_samples"]
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("sum_abs", LongType(), False),
+            StructField("n_samples", LongType(), False),
+        ]
+    )
+    return docs.mapInPandas(fn, schema=schema)
+
+
+SQL_AUDIO_DECODE = """
+SELECT d.doc_id AS media_id,
+       CAST(sum(abs((d.doc_id*13 + 7*g.range) % 65536 - 32768)) AS BIGINT)
+         AS sum_abs,
+       CAST(count(*) AS BIGINT) AS n_samples
+FROM documents d CROSS JOIN range(256) g
+GROUP BY 1
+"""
+
+
 def q_hll_fold_union(spark, sf_dir):
     """First-class fold surface (src/hll.js:363-398): two pipeline halves
     sketch the same table at different precisions (log2m 13 and 11, as a
@@ -1127,6 +1176,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_ndv_hourly": q_streaming_ndv_hourly,
     "hll_fold_union": q_hll_fold_union,
     "image_decode_sums": q_image_decode_sums,
+    "audio_decode_sums": q_audio_decode_sums,
     "sessionize": q_sessionize,
     "token_count": q_token_count,
     "token_count_bpe": q_token_count_bpe,
@@ -1177,6 +1227,7 @@ ORACLES: dict[str, str] = {
     "events_windowed_counts": SQL_EVENTS_WINDOWED,
     "streaming_ndv_hourly": SQL_EVENTS_WINDOWED,
     "image_decode_sums": SQL_IMAGE_DECODE,
+    "audio_decode_sums": SQL_AUDIO_DECODE,
     "sessionize": SQL_SESSIONIZE,
     "token_count": SQL_TOKEN_COUNT,
     "token_count_bpe": SQL_TOKEN_COUNT_BPE,

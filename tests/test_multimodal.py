@@ -99,3 +99,54 @@ def test_image_features_real_bmp_default_path(spark):
     assert len(out) == 20
     assert all(len(r["features"]) == 3 for r in out)
     assert all(0.0 <= v <= 1.0 for r in out for v in r["features"])
+
+
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    from js_hll_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(11)
+    s = rng.integers(-32768, 32768, size=4001, dtype=np.int16)  # odd len
+    x, rate = decode_wav(encode_wav(s, 22050))
+    assert rate == 22050
+    np.testing.assert_array_equal(
+        np.rint(x.astype(np.float64) * 32768.0).astype(np.int16), s
+    )
+    # extra chunks before data are tolerated (chunk-walk, not offsets)
+    blob = encode_wav(s[:8], 8000)
+    rest = blob[12:]  # chunk list starting at "fmt "
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    patched = (
+        b"RIFF"
+        + (len(rest) + len(extra) + 4).to_bytes(4, "little")
+        + b"WAVE"
+        + extra
+        + rest
+    )
+    x2, _ = decode_wav(patched)
+    np.testing.assert_array_equal(
+        np.rint(x2.astype(np.float64) * 32768.0).astype(np.int16), s[:8]
+    )
+
+
+def test_audio_features_spark(spark):
+    import numpy as np
+    import pandas as pd
+
+    from js_hll_spark.operators.multimodal import audio_features, encode_wav
+
+    rows = []
+    for i in range(10):
+        t = np.arange(1600)
+        s = (10000 * np.sin(2 * np.pi * (i + 1) * t / 160)).astype(np.int16)
+        rows.append((str(i), encode_wav(s, 16000)))
+    media = spark.createDataFrame(pd.DataFrame(rows, columns=["media_id", "media"]))
+    out = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert len(out) == 10
+    for i in range(10):
+        r = out[str(i)]
+        assert r["duration_s"] == pytest.approx(0.1)
+        assert 0.1 < r["rms"] < 0.5
+        # a (i+1)*10 Hz-per-frame sine has ~2*(i+1)*10 crossings in 0.1 s
+        assert abs(r["zero_crossings"] - 2 * (i + 1) * 10) <= 2
