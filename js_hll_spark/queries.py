@@ -961,6 +961,69 @@ def q_streaming_ndv_hourly(spark, sf_dir):
     )
 
 
+def q_streaming_ndv_stateful(spark, sf_dir):
+    """The applyInPandasWithState variant of the streaming surface: a
+    3-file micro-batched replay maintains per-(hour, event_type)
+    register files in the Structured Streaming STATE STORE and emits
+    update-mode rows into a memory sink; the last update per key is the
+    final NDV. Rows-only (register estimates are approximate); the exact
+    oracled twin of the same semantics is streaming_ndv_hourly, and
+    accuracy/late-data behavior is gated in test_streaming."""
+    import tempfile
+    import uuid
+
+    from .streaming.stateful import stateful_streaming_ndv
+
+    _ship(spark)
+    base = tempfile.mkdtemp(prefix="stream_state_")
+    events = _t(spark, sf_dir, "events").select("ts", "user_id", "event_type")
+    indir = f"{base}/in"
+    events.repartition(3).write.parquet(indir)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+        # watermarks need TIMESTAMP, not the parquet TIMESTAMP_NTZ
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = stateful_streaming_ndv(
+        stream,
+        "user_id",
+        ts_col="ts",
+        window="1 hour",
+        keys=["event_type"],
+        watermark="24 hours",
+        log2m=12,
+    )
+    name = f"ndv_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{base}/_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = spark.table(name)
+    # rows_seen strictly increases per key across updates -> the final
+    # state row is the per-key max
+    w = Window.partitionBy("window_start", "event_type").orderBy(
+        F.desc("rows_seen")
+    )
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "window_start",
+            "event_type",
+            F.round("ndv", 4).alias("ndv_users"),
+        )
+    )
+
+
 def q_hll_sketch_rollup(spark, sf_dir):
     """Sketch at (lang, source) grain, roll up to lang by union only."""
     _ship(spark)
@@ -1174,6 +1237,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantiles_exact": q_quantiles_exact,
     "events_windowed_counts": q_events_windowed_counts,
     "streaming_ndv_hourly": q_streaming_ndv_hourly,
+    "streaming_ndv_stateful": q_streaming_ndv_stateful,
     "hll_fold_union": q_hll_fold_union,
     "image_decode_sums": q_image_decode_sums,
     "audio_decode_sums": q_audio_decode_sums,
