@@ -249,35 +249,28 @@ def ann_ivf(
     cent = _kmeans(sample, nlist, iters, seed=0)
     cent_t = cent.T.copy()  # (dim, nlist)
 
+    # assign inline (vector rides along) — no self-join of the vector
+    # table against its own assignment, so the only shuffle left is the
+    # candidate join on list_id
     def assign_fn(batches):
         for pdf in batches:
-            x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
-            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-            yield pd.DataFrame(
-                {
-                    "__id": pdf["__id"],
-                    "list_id": np.argmax(x @ cent_t, axis=1).astype(np.int64),
-                }
-            )
+            x = np.stack(pdf["__vv"].to_numpy()).astype(np.float64)
+            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            pdf = pdf.copy()
+            pdf["list_id"] = np.argmax(xn @ cent_t, axis=1).astype(np.int64)
+            yield pdf
 
     v_in = vectors.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vv")
     )
     assign_schema = StructType(
         [
-            StructField("__id", vectors.schema[id_col].dataType, False),
+            StructField("neighbor_id", vectors.schema[id_col].dataType, False),
+            StructField("__vv", vectors.schema[vec_col].dataType, False),
             StructField("list_id", LongType(), False),
         ]
     )
-    assigned = v_in.mapInPandas(assign_fn, schema=assign_schema)
-    v = (
-        vectors.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vv")
-        )
-        .join(
-            assigned.withColumnRenamed("__id", "neighbor_id"), "neighbor_id"
-        )
-    )
+    v = v_in.mapInPandas(assign_fn, schema=assign_schema)
 
     # queries probe their nprobe nearest lists (numpy once per batch)
     def probe_fn(batches):
