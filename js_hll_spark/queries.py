@@ -525,6 +525,41 @@ SELECT count(*) AS n_overlap FROM (
 """
 
 
+def q_hll_intersection_explicit(spark, sf_dir):
+    """Inclusion-exclusion intersection computed ON SKETCHES, oracled:
+    python-engine sketches at log2m=16 stay EXPLICIT (auto threshold 4096
+    > the user-id cardinality at gate/bench SFs), so |A| + |B| - |A∪B| is
+    exact set arithmetic and the sketch-side result hash-matches SQL
+    INTERSECT. The estimate-tier variant over dense registers is
+    hll_intersection below (rows-only, error ∝ |A∪B| per
+    README.markdown:62-69)."""
+    _ship(spark)
+    events = _t(spark, sf_dir, "events")
+    a = hll_sketch(
+        events.filter(F.col("event_type") == "click"),
+        "user_id",
+        log2m=16,
+        engine="python",
+    ).select(F.col("sketch").alias("a"), F.col("ndv").alias("ndv_a"))
+    b = hll_sketch(
+        events.filter(F.col("event_type") == "purchase"),
+        "user_id",
+        log2m=16,
+        engine="python",
+    ).select(F.col("sketch").alias("b"), F.col("ndv").alias("ndv_b"))
+    from .spark.functions import hll_cardinality_udf, hll_union_pair_udf
+
+    return a.crossJoin(b).select(
+        (
+            F.col("ndv_a")
+            + F.col("ndv_b")
+            - hll_cardinality_udf(hll_union_pair_udf("a", "b"))
+        )
+        .cast("long")
+        .alias("n_overlap")
+    )
+
+
 def q_hll_intersection(spark, sf_dir):
     """Sketch-side |A ∩ B| by inclusion-exclusion (README.markdown:62-69)
     — rows-only; error proportional to the union's cardinality."""
@@ -1269,6 +1304,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semijoin_membership": q_semijoin_membership,
     "user_overlap_exact": q_user_overlap_exact,
     "hll_intersection": q_hll_intersection,
+    "hll_intersection_explicit": q_hll_intersection_explicit,
     "hll_interop_hex": q_hll_interop_hex,
     "bloom_membership": q_bloom_membership,
     "hll_ndv_global": q_hll_ndv_global,
@@ -1310,4 +1346,5 @@ ORACLES: dict[str, str] = {
     "heavy_hitters_exact": SQL_HEAVY_HITTERS,
     "semijoin_membership": SQL_SEMIJOIN,
     "user_overlap_exact": SQL_USER_OVERLAP,
+    "hll_intersection_explicit": SQL_USER_OVERLAP,
 }
