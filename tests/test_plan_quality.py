@@ -107,3 +107,17 @@ def test_ngram_jaccard_pairs_mode_has_no_allpairs_selfjoin(spark):
     assert selfjoin.search(allpairs_plan)  # exact mode keeps it (oracle tier)
     assert not selfjoin.search(pairs_plan)
     assert "BroadcastHashJoin" in plan(dedup.ngram_jaccard(docs, pairs=pairs))
+
+
+def test_sql_engine_keyed_assembly_is_batched(spark, events):
+    """The keyed sql-engine assembly must be the batched mapInPandas
+    shape (repartition + sort + MapInPandas), never per-group
+    FlatMapGroupsInPandas — per-group python calls are a scale
+    bottleneck at high key cardinality."""
+    p = plan(
+        hll_sketch(events, "user_id", by=["event_type"], log2m=12, engine="sql")
+    )
+    assert "MapInPandas" in p
+    assert "FlatMapGroupsInPandas" not in p
+    assert p.count("Exchange") == 2  # partial-agg shuffle + key repartition
+    assert "Sort" in p  # in-partition key contiguity for the stream carry
