@@ -1,6 +1,6 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": docs_per_sec, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": ..., "value": docs_per_sec, "unit": "docs/sec", "queries": {...}, "sf": ...}
 
 The headline metric is flagship NDV(doc surrogate) throughput in docs/sec
 over the biggest table (lineitem at sf0.1 ~ 600k rows) — workload shape
@@ -121,7 +121,7 @@ def main() -> None:
             {
                 "metric": "flagship NDV(url) throughput docs/sec on the CC-style webtext table",
                 "value": round(docs_per_sec, 1),
-                "unit": "sec",
+                "unit": "docs/sec",
                 "queries": {k: round(v, 3) for k, v in results.items()},
                 "sf": SF_DIR,
                 "rows": n_rows,

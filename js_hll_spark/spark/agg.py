@@ -51,6 +51,39 @@ _PID_COL = "__pid"
 _ROWS_COL = "rows_seen"
 
 
+def _null_safe_change_mask(kcols: list[pd.Series]) -> np.ndarray:
+    """Row mask marking group boundaries in key-sorted batches, treating
+    null == null. Arrow->pandas surfaces nullable numeric/timestamp keys
+    as NaN/NaT, and NaN != NaN would otherwise split a null-keyed group
+    into one group per row."""
+    n = len(kcols[0])
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for kc in kcols:
+        na = kc.isna().to_numpy()
+        vals = kc.to_numpy()
+        with np.errstate(invalid="ignore"):
+            neq = vals[1:] != vals[:-1]
+        neq = np.asarray(neq, dtype=bool)
+        # a pair of nulls is never a boundary; a single null always is
+        # (covers float columns where NaN != NaN already reads True and
+        # object columns where None != None reads False)
+        both_na = na[1:] & na[:-1]
+        one_na = na[1:] ^ na[:-1]
+        change[1:] |= (neq & ~both_na) | one_na
+    return change
+
+
+def _key_tuple(kcols: list[pd.Series], i: int) -> tuple:
+    """Group-key tuple at row ``i`` with NaN/NaT normalized to None so
+    tuple equality across Arrow batch boundaries is null-safe."""
+    vals = []
+    for kc in kcols:
+        v = kc.iloc[i]
+        vals.append(None if pd.isna(v) else v)
+    return tuple(vals)
+
+
 def _hash_column(col: str, method: str):
     if method == "xxhash64":
         return F.xxhash64(F.col(col))
@@ -262,12 +295,11 @@ def hll_sketch(
     )
 
     if tree_fanin is None:
-        try:
-            n_parts = hashed.rdd.getNumPartitions()
-        except Exception:
-            n_parts = 0
         # one intermediate merge level bounds the final task's fan-in when
-        # the job has many input partitions (100 TB => ~10^5 partitions)
+        # the job has many input partitions (100 TB => ~10^5 partitions).
+        # defaultParallelism approximates task count without forcing the
+        # DataFrame through an RDD conversion / plan analysis per call.
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
         tree_fanin = 64 if n_parts > 256 else 0
 
     if tree_fanin:
@@ -406,16 +438,12 @@ def hll_sketch_sql(
             val_a = pdf["__val"].to_numpy()
             n_a = pdf["__n"].to_numpy()
             kcols = [pdf[k] for k in keys]
-            change = np.zeros(len(pdf), dtype=bool)
-            change[0] = True
-            for kc in kcols:
-                vals = kc.to_numpy()
-                change[1:] |= vals[1:] != vals[:-1]
+            change = _null_safe_change_mask(kcols)
             starts = np.flatnonzero(change)
             ends = np.append(starts[1:], len(pdf))
             done = []
             for s0, e0 in zip(starts, ends):
-                key = tuple(kc.iloc[s0] for kc in kcols)
+                key = _key_tuple(kcols, s0)
                 if cur is not None and key != cur:
                     done.append(finish_row())
                     regs = None
@@ -504,8 +532,6 @@ def hll_rollup(
     )
 
     def stream(batches):
-        import numpy as np
-
         cur: tuple | None = None
         acc: HLL | None = None
 
@@ -519,16 +545,12 @@ def hll_rollup(
             if len(pdf) == 0:
                 continue
             kcols = [pdf[k] for k in keys]
-            change = np.zeros(len(pdf), dtype=bool)
-            change[0] = True
-            for kc in kcols:
-                vals = kc.to_numpy()
-                change[1:] |= vals[1:] != vals[:-1]
+            change = _null_safe_change_mask(kcols)
             done = []
             blobs = pdf[sketch_col]
             for i in range(len(pdf)):
                 if change[i]:
-                    key = tuple(kc.iloc[i] for kc in kcols)
+                    key = _key_tuple(kcols, i)
                     if cur is not None and key != cur:
                         done.append(finish_row())
                         acc = None

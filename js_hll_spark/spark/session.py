@@ -44,6 +44,10 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # epoch arithmetic (sessionize, windowed aggs) must not depend on
+        # the JVM's local zone — a DST transition would shift NTZ->epoch
+        # casts by ±3600 s vs timezone-free oracles
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")

@@ -308,3 +308,39 @@ def test_streaming_assembly_matches_pergroup_path(spark, events):
     assert got.keys() == ref.keys() and len(got) > 50
     for k in got:
         assert got[k] == ref[k], k
+
+
+def test_keyed_assembly_null_group_keys(spark):
+    """Null group keys must form ONE group in the batched assembly and
+    rollup streams: Arrow->pandas surfaces nullable numeric keys as NaN,
+    and NaN != NaN would otherwise emit one group per null-keyed row.
+    Forces tiny Arrow batches so the null group also straddles batches."""
+    from js_hll_spark.spark.agg import hll_rollup, hll_sketch
+
+    rows = [(None if i % 3 == 0 else i % 5, f"v{i % 37}") for i in range(400)]
+    df = spark.createDataFrame(rows, "grp int, val string")
+    small = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = hll_sketch(df, "val", by=["grp"], log2m=11, engine="sql").collect()
+        assert len(got) == 6  # null + int groups 0..4
+        by_key = {r["grp"]: r for r in got}
+        assert None in by_key
+        exact = {
+            r["grp"]: r["n"]
+            for r in df.groupBy("grp")
+            .agg(F.countDistinct("val").alias("n"))
+            .collect()
+        }
+        for k, r in by_key.items():
+            assert abs(r["ndv"] - exact[k]) / exact[k] < 0.2, k
+        # rollup stream over a null-keyed sketch table: same contract
+        fine = hll_sketch(
+            df, "val", by=["grp"], log2m=11, engine="python", estimate=False
+        )
+        rolled = {r["grp"]: r["ndv"] for r in hll_rollup(fine, ["grp"]).collect()}
+        assert set(rolled) == set(exact)
+        for k in rolled:
+            assert abs(rolled[k] - by_key[k]["ndv"]) < 1e-9, k
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", small)
