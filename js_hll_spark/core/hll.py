@@ -227,7 +227,11 @@ class HLL:
             return self
         h = hashes.astype(np.uint64, copy=False)
         if self._explicit is not None:
-            self._explicit.update(int(v) for v in h)
+            # dedup the batch in numpy first: per-element Python int()
+            # conversion dominated for explicit-heavy workloads (the
+            # oracled intersection query lives at log2m=16 / threshold
+            # 4096 and never promotes)
+            self._explicit.update(np.unique(h).tolist())
             if len(self._explicit) > self.explicit_threshold:
                 self._promote_explicit()
             return self

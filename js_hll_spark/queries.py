@@ -997,13 +997,16 @@ def q_streaming_ndv_hourly(spark, sf_dir):
 
 
 def q_streaming_ndv_stateful(spark, sf_dir):
-    """The applyInPandasWithState variant of the streaming surface: a
-    3-file micro-batched replay maintains per-(hour, event_type)
-    register files in the Structured Streaming STATE STORE and emits
-    update-mode rows into a memory sink; the last update per key is the
-    final NDV. Rows-only (register estimates are approximate); the exact
-    oracled twin of the same semantics is streaming_ndv_hourly, and
-    accuracy/late-data behavior is gated in test_streaming."""
+    """The applyInPandasWithState variant of the streaming surface,
+    ORACLED: a 3-file micro-batched replay maintains per-(hour,
+    event_type) EXPLICIT-mode sketches in the Structured Streaming STATE
+    STORE and emits update-mode rows into a memory sink; the last update
+    per key is the final NDV. At log2m=13 the auto explicit threshold
+    (512) exceeds any hourly NDV at gate/bench SFs, so the state-store
+    estimates are exact distinct counts and hash-match count(DISTINCT) —
+    the same trick that oracles the foreachBatch twin above. The dense-
+    register state variant (the fixed-bytes-per-key scale path) is
+    accuracy/late-data gated in test_streaming."""
     import tempfile
     import uuid
 
@@ -1028,7 +1031,8 @@ def q_streaming_ndv_stateful(spark, sf_dir):
         window="1 hour",
         keys=["event_type"],
         watermark="24 hours",
-        log2m=12,
+        log2m=13,
+        explicit=True,
     )
     name = f"ndv_state_{uuid.uuid4().hex[:8]}"
     q = (
@@ -1052,15 +1056,50 @@ def q_streaming_ndv_stateful(spark, sf_dir):
         sink.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(
-            "window_start",
+            # the stream cast ts NTZ->TIMESTAMP for the watermark; cast
+            # the window back to NTZ (UTC session tz => same wall-clock)
+            # so the column canonicalizes like the timezone-free oracle
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
-            F.round("ndv", 4).alias("ndv_users"),
+            F.col("ndv").cast("long").alias("ndv_users"),
         )
     )
 
 
 def q_hll_sketch_rollup(spark, sf_dir):
-    """Sketch at (lang, source) grain, roll up to lang by union only."""
+    """Sketch-table rollup, ORACLED: sketch at (lang, source) grain with
+    python-engine sketches at log2m=16 (auto explicit threshold 4096 >
+    any per-lang distinct-text count at gate/bench SFs), roll up to lang
+    by union only. EXPLICIT x EXPLICIT union is exact set arithmetic
+    (core/hll.py union, postgresql-hll semantics), so the rolled-up ndv
+    hash-matches GROUP BY lang count(DISTINCT text). The estimate-tier
+    rollup over dense registers is hll_sketch_rollup_estimate below
+    (rows-only by design)."""
+    _ship(spark)
+    fine = hll_sketch(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        by=["lang", "source"],
+        log2m=16,
+        engine="python",
+        estimate=False,
+    )
+    return hll_rollup(fine, ["lang"]).select(
+        "lang", F.col("ndv").cast("long").alias("ndv")
+    )
+
+
+SQL_SKETCH_ROLLUP = """
+SELECT lang, CAST(count(DISTINCT text) AS BIGINT) AS ndv
+FROM documents GROUP BY lang
+"""
+
+
+def q_hll_sketch_rollup_estimate(spark, sf_dir):
+    """Estimate-tier twin of hll_sketch_rollup: dense-register sketches
+    at log2m=12 rolled up to lang — the 100 TB path, where per-group
+    state is m bytes regardless of cardinality. Rows-only (approximate
+    by design; accuracy gated in pytest)."""
     _ship(spark)
     fine = hll_sketch(
         _t(spark, sf_dir, "documents"),
@@ -1312,6 +1351,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_ndv_murmur3": q_hll_ndv_murmur3,
     "hll_ndv_events_hourly": q_hll_ndv_events_hourly,
     "hll_sketch_rollup": q_hll_sketch_rollup,
+    "hll_sketch_rollup_estimate": q_hll_sketch_rollup_estimate,
 }
 
 ORACLES: dict[str, str] = {
@@ -1326,6 +1366,7 @@ ORACLES: dict[str, str] = {
     "quantiles_exact": SQL_QUANTILES,
     "events_windowed_counts": SQL_EVENTS_WINDOWED,
     "streaming_ndv_hourly": SQL_EVENTS_WINDOWED,
+    "streaming_ndv_stateful": SQL_EVENTS_WINDOWED,
     "image_decode_sums": SQL_IMAGE_DECODE,
     "audio_decode_sums": SQL_AUDIO_DECODE,
     "sessionize": SQL_SESSIONIZE,
@@ -1347,4 +1388,5 @@ ORACLES: dict[str, str] = {
     "semijoin_membership": SQL_SEMIJOIN,
     "user_overlap_exact": SQL_USER_OVERLAP,
     "hll_intersection_explicit": SQL_USER_OVERLAP,
+    "hll_sketch_rollup": SQL_SKETCH_ROLLUP,
 }

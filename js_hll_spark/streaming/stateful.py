@@ -28,7 +28,7 @@ from pyspark.sql.types import (
 )
 
 from ..config import HLLConfig
-from ..core.hll import estimate_from_registers, update_registers
+from ..core.hll import HLL, estimate_from_registers, update_registers
 from ..hashing import to_uint64
 
 
@@ -41,10 +41,18 @@ def stateful_streaming_ndv(
     keys: Sequence[str] = (),
     watermark: str = "2 hours",
     log2m: int = 12,
+    explicit: bool = False,
 ):
     """Transform a streaming DataFrame into per-(window, keys) NDV rows
     maintained in the state store. Returns the transformed streaming
-    DataFrame (caller attaches the sink)."""
+    DataFrame (caller attaches the sink).
+
+    ``explicit=True`` keeps spec-encoded EXPLICIT-mode sketches in the
+    state store instead of raw register files: while the per-key NDV
+    stays under the auto promotion threshold the estimate is an exact
+    distinct count, which lets the state-store path oracle against
+    count(DISTINCT) exactly like the foreachBatch loop. Default (dense
+    registers) is the scale path: fixed m bytes of state per key."""
     config = HLLConfig(log2m, 5)
     m = config.m
     keys = list(keys)
@@ -71,21 +79,35 @@ def stateful_streaming_ndv(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
-        if state.exists:
-            blob, rows_seen = state.get
-            regs = np.frombuffer(blob, dtype=np.uint8).copy()
+        if explicit:
+            if state.exists:
+                blob, rows_seen = state.get
+                sketch = HLL.from_bytes(bytes(blob))
+            else:
+                sketch = HLL(config)
+                rows_seen = 0
+            for pdf in pdfs:
+                sketch.add_raw64(to_uint64(pdf["__h"].to_numpy()))
+                rows_seen += len(pdf)
+            state.update((sketch.to_bytes(), rows_seen))
+            ndv = sketch.algorithm_cardinality()
         else:
-            regs = np.zeros(m, dtype=np.uint8)
-            rows_seen = 0
-        for pdf in pdfs:
-            h = to_uint64(pdf["__h"].to_numpy())
-            update_registers(regs, h, config)
-            rows_seen += len(pdf)
-        state.update((regs.tobytes(), rows_seen))
+            if state.exists:
+                blob, rows_seen = state.get
+                regs = np.frombuffer(blob, dtype=np.uint8).copy()
+            else:
+                regs = np.zeros(m, dtype=np.uint8)
+                rows_seen = 0
+            for pdf in pdfs:
+                h = to_uint64(pdf["__h"].to_numpy())
+                update_registers(regs, h, config)
+                rows_seen += len(pdf)
+            state.update((regs.tobytes(), rows_seen))
+            ndv = estimate_from_registers(regs, config)
         out = {"window_start": [key[0]]}
         for i, k in enumerate(keys):
             out[k] = [key[i + 1]]
-        out["ndv"] = [estimate_from_registers(regs, config)]
+        out["ndv"] = [ndv]
         out["rows_seen"] = [rows_seen]
         yield pd.DataFrame(out)
 
