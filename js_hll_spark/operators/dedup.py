@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from .text import fingerprint, tokens
 
@@ -243,18 +243,32 @@ def ngram_jaccard(
     # oracle gate verifies equality empirically), ~17% faster end to end
     ex = ex.select("__id", F.xxhash64("sh").alias("sh"))
     if max_shingle_df is not None:
-        w_df = Window.partitionBy("sh")
-        ex = ex.withColumn("__df", F.count(F.lit(1)).over(w_df)).filter(
-            F.col("__df") <= max_shingle_df
-        ).drop("__df")
+        # hot-shingle set via map-side-combined count + anti-join: a
+        # Window.partitionBy(sh) count shuffles AND sorts every posting
+        # partition; the aggregate shuffles the same keys without the
+        # sort, and the hot set (df > cap) is typically tiny, so AQE
+        # turns the anti-join into a broadcast at runtime — without
+        # pinning a hint that would OOM if a pathological corpus made
+        # the hot set large.
+        hot = (
+            ex.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("sh")
+        )
+        ex = ex.join(hot, "sh", "left_anti")
     sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
     if pairs is not None:
-        # verification tier: intersect ONLY the candidates. Candidates are
-        # a tiny table → broadcast onto a's posting list, then an equi-join
-        # on (id_b, sh) — Catalyst could not push a post-aggregation
-        # semi-join below the all-pairs self-join (VERDICT r1 #3).
+        # verification tier: intersect ONLY the candidates. Candidates
+        # join onto a's posting list, then an equi-join on (id_b, sh)
+        # keeps shared shingles — Catalyst could not push a
+        # post-aggregation semi-join below the all-pairs self-join
+        # (VERDICT r1 #3). No broadcast hint: candidate sets are usually
+        # tiny and AQE broadcasts them at runtime, but a forced hint
+        # would OOM when an LSH parameter choice yields a candidate set
+        # past executor memory (VERDICT r2 #3).
         inter = (
-            F.broadcast(pairs)
+            pairs
             .join(ex.withColumnRenamed("__id", "id_a"), "id_a")
             .join(ex.withColumnRenamed("__id", "id_b"), ["id_b", "sh"])
             .groupBy("id_a", "id_b")

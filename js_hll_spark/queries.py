@@ -449,19 +449,33 @@ SQL_MINHASH_LSH = _sql_minhash(8, 4, 3)
 
 
 def q_ngram_jaccard(spark, sf_dir):
+    """Exact shingle Jaccard WITH the hot-shingle df cap engaged (a
+    shingle in > 100 docs is a stopword phrase — and a quadratic join
+    key at scale). The cap redefines the shingle universe consistently
+    (sizes and intersections both see only kept shingles), so jaccard
+    stays exact over that universe and the DuckDB oracle mirrors the cap
+    verbatim. test_plan_quality pins that the registered plan carries
+    the anti-join stage rather than the all-pairs-on-hot-keys shape."""
     return dedup.ngram_jaccard(
-        _t_wide(spark, sf_dir, "documents"), shingle_n=3, threshold=0.2
+        _t_wide(spark, sf_dir, "documents"),
+        shingle_n=3,
+        threshold=0.2,
+        max_shingle_df=100,
     )
 
 
 SQL_NGRAM_JACCARD = f"""
 WITH toks AS (
   SELECT doc_id, {_SQL_TOKS} AS t FROM documents
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id, unnest(
     [array_to_string(t[i:i+2], ' ')
      for i in range(1, greatest(len(t)-3, 0)+2)]) AS sh
   FROM toks
+), sh AS (
+  SELECT * FROM sh0 WHERE sh NOT IN (
+    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 100
+  )
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), inter AS (

@@ -208,6 +208,38 @@ def test_ngram_jaccard_shingle_df_cap(spark, pages):
     assert none_kept.count() == 0
 
 
+def test_ngram_jaccard_verify_survives_unbroadcastable_candidates(spark, pages):
+    """The verification tier must not DEPEND on the candidate set being
+    broadcastable: with auto-broadcast disabled (simulating candidates
+    past executor memory at 100 TB), the shuffle join produces the same
+    scores (VERDICT r2 #3: the hint is gone; AQE picks broadcast only
+    when the candidates actually fit)."""
+    sample = pages.limit(200).cache()
+    cand = dedup.minhash_lsh_candidates(sample, k=8, bands=4, id_col="row_id")
+    with_bcast = set(
+        map(
+            tuple,
+            dedup.ngram_jaccard(
+                sample, pairs=cand, text_col="text", id_col="row_id"
+            ).collect(),
+        )
+    )
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        without = set(
+            map(
+                tuple,
+                dedup.ngram_jaccard(
+                    sample, pairs=cand, text_col="text", id_col="row_id"
+                ).collect(),
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert without == with_bcast and len(without) > 0
+
+
 def test_text_simhash64_matches_dedup_signatures(spark, pages):
     """text.simhash64 (per-bit Catalyst votes) is bit-identical to
     dedup.simhash_signatures (array-vote variant) — same tokens, same

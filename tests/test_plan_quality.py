@@ -106,7 +106,25 @@ def test_ngram_jaccard_pairs_mode_has_no_allpairs_selfjoin(spark):
     selfjoin = re.compile(r"__id#\d+L? < __id#\d+L?")
     assert selfjoin.search(allpairs_plan)  # exact mode keeps it (oracle tier)
     assert not selfjoin.search(pairs_plan)
-    assert "BroadcastHashJoin" in plan(dedup.ngram_jaccard(docs, pairs=pairs))
+
+
+def test_ngram_jaccard_df_cap_is_antijoin_not_window(spark):
+    """The hot-shingle cap must run as aggregate + anti-join (map-side
+    combine, no per-partition sort), not a Window.partitionBy(sh) count;
+    and the registered query engages the cap so the gate never runs an
+    uncapped all-pairs join over hot keys."""
+    from js_hll_spark.operators import dedup
+    from js_hll_spark.queries import QUERIES
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    p = optimized(dedup.ngram_jaccard(docs, max_shingle_df=5))
+    assert "LeftAnti" in p
+    assert "Window" not in p
+    q = QUERIES["ngram_jaccard"](spark, "/root/testdata/sf0.001")
+    assert "LeftAnti" in optimized(q)
 
 
 def test_sql_engine_keyed_assembly_is_batched(spark, events):
