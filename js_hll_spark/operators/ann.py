@@ -324,3 +324,26 @@ def ann_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Annotate an ANN result with per-query recall vs an exact baseline:
+    |approx ∩ exact_topk| / |exact_topk|, repeated on each of the query's
+    rows (so the number an operator actually watches — the recall/nprobe
+    trade — travels WITH the result instead of living only in a test).
+    Both inputs carry (query_id, neighbor_id)."""
+    ex = exact.select("query_id", "neighbor_id")
+    denom = ex.groupBy("query_id").agg(F.count(F.lit(1)).alias("__n_exact"))
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(ex, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__n_hit"))
+    )
+    rec = denom.join(hits, "query_id", "left").select(
+        "query_id",
+        F.round(
+            F.coalesce(F.col("__n_hit"), F.lit(0)) / F.col("__n_exact"), 4
+        ).alias("recall_at_k"),
+    )
+    return approx.join(F.broadcast(rec), "query_id", "left")

@@ -762,23 +762,30 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    # rows-only: list assignment depends on the trained coarse quantizer;
-    # recall vs brute force gated in pytest
+    """IVF ANN with recall@k vs the brute-force twin carried as an output
+    column — the recall/nprobe trade is the number an operator watches,
+    so it travels with the gate artifact, not just pytest. Rows-only:
+    list assignment depends on the trained coarse quantizer."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     queries = emb.filter(F.col("vec_id") < 5)
-    return ann.ann_ivf(emb, queries, k=5, nlist=8, nprobe=3, dim=64)
+    approx = ann.ann_ivf(emb, queries, k=5, nlist=8, nprobe=3, dim=64)
+    exact = ann.ann_bruteforce(emb, queries, k=5, round_to=4)
+    return ann.recall_at_k(approx, exact)
 
 
 def q_ann_lsh(spark, sf_dir):
-    # rows-only: bucketing depends on seeded hyperplanes; recall asserted
-    # against the brute-force baseline in pytest
+    """LSH ANN with recall@k vs the brute-force twin as an output column
+    (see q_ann_ivf). Rows-only: bucketing depends on seeded hyperplanes;
+    the recall floor is asserted in pytest."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     queries = emb.filter(F.col("vec_id") < 5)
-    return ann.ann_lsh(emb, queries, k=5, bits=4, dim=64)
+    approx = ann.ann_lsh(emb, queries, k=5, bits=4, dim=64)
+    exact = ann.ann_bruteforce(emb, queries, k=5, round_to=4)
+    return ann.recall_at_k(approx, exact)
 
 
 # --------------------------------------------------------------------------

@@ -283,3 +283,21 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert sorted(map(tuple, approx.collect())) == sorted(
         map(tuple, again.collect())
     )
+
+
+def test_ann_registry_outputs_carry_recall(spark):
+    """The registered ann_lsh / ann_ivf results must ship recall@k vs the
+    brute-force twin as a column (VERDICT r2 #8: at 100x scale the
+    recall/nprobe trade is the number an operator actually watches, so
+    it belongs in the gate artifact, not only in pytest)."""
+    from js_hll_spark.queries import QUERIES
+
+    for name, floor in (("ann_lsh", 0.15), ("ann_ivf", 0.3)):
+        df = QUERIES[name](spark, "/root/testdata/sf0.01")
+        assert "recall_at_k" in df.columns, name
+        per_q = {
+            r["query_id"]: r["recall_at_k"]
+            for r in df.select("query_id", "recall_at_k").distinct().collect()
+        }
+        mean = sum(per_q.values()) / len(per_q)
+        assert mean >= floor, (name, per_q)
