@@ -74,14 +74,23 @@ def minhash_signature(col, k: int = 16, shingle_n: int = 3):
 
 
 def dedup_keep_rows(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    compute_df: DataFrame | None = None,
 ) -> DataFrame:
     """The deduplicated table itself: keep the smallest-id row per
     normalized-text fingerprint (left-semi join back against the winner
-    set — only (fp, keep_id) pairs shuffle, never full rows)."""
-    winners = dedup_exact(df, text_col, id_col).select(
-        F.col("keep_id").alias(id_col)
-    )
+    set — only (fp, keep_id) pairs shuffle, never full rows).
+
+    ``compute_df`` optionally supplies a re-partitioned twin of ``df``
+    for the fingerprint pass (single-split fixture correction) while the
+    probe side keeps its pristine scan — fanning out BOTH sides doubles
+    the repartition for no benefit (r2 bench regression)."""
+    winners = dedup_exact(
+        df if compute_df is None else compute_df, text_col, id_col
+    ).select(F.col("keep_id").alias(id_col))
     return df.join(winners, id_col, "left_semi")
 
 

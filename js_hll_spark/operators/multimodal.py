@@ -6,8 +6,12 @@ Decode support without external libraries (pure numpy):
 - BMP, uncompressed 24-bit BI_RGB (the format every OS screenshotter and
   ffmpeg can emit) — full header parse, bottom-up rows, 4-byte row padding.
 - PPM (P6 binary), the netpbm interchange format.
-Compressed formats (PNG/JPEG) need codec libraries not present in this
-container: ``decode_image`` raises NotImplementedError for those magics
+- Y4M (yuv4mpeg2), ffmpeg's uncompressed video interchange format —
+  header tag parse, FRAME markers, planar C444 and C420 (chroma
+  upsampled) — completing the modality set: every kind has at least one
+  REAL decoder with an oracled end-to-end query.
+Compressed formats (PNG/JPEG/H.264) need codec libraries not present in
+this container: the decoders raise NotImplementedError for those magics
 unless ``fake=True`` substitutes the deterministic stand-in, keeping the
 downstream feature pipeline exercisable for any input.
 """
@@ -162,6 +166,133 @@ def image_features(
         [
             StructField("media_id", df.schema[id_col].dataType, False),
             StructField("features", ArrayType(FloatType()), False),
+        ]
+    )
+    return df.mapInPandas(fn, schema=schema)
+
+
+def encode_y4m(
+    frames: np.ndarray, fps: tuple[int, int] = (25, 1)
+) -> bytes:
+    """uint8 (n, h, w, 3) planar-YUV frames -> yuv4mpeg2 (C444) bytes —
+    fixtures and sinks; the inverse of decode_y4m."""
+    n, h, w, _ = frames.shape
+    parts = [f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C444\n".encode()]
+    fr = frames.astype(np.uint8)
+    for i in range(n):
+        parts.append(b"FRAME\n")
+        # planar: full Y plane, then U, then V
+        parts.append(fr[i, :, :, 0].tobytes())
+        parts.append(fr[i, :, :, 1].tobytes())
+        parts.append(fr[i, :, :, 2].tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m(blob: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """yuv4mpeg2 -> (uint8 (n, h, w, 3) YUV frames, (fps_num, fps_den)).
+    Supports planar C444 and C420* (chroma nearest-upsampled to full
+    resolution); other colorspaces raise NotImplementedError."""
+    if not blob.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = blob.index(b"\n")
+    w = h = None
+    fps = (25, 1)
+    cs = "C420jpeg"  # the spec's default when no C tag is present
+    for p in blob[9:nl].split():
+        tag, val = p[:1], p[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            a, b = val.split(b":")
+            fps = (int(a), int(b))
+        elif tag == b"C":
+            cs = p.decode()
+    if w is None or h is None:
+        raise ValueError("missing W/H header tags")
+    if cs.startswith("C444"):
+        sub = 1
+    elif cs.startswith("C420"):
+        sub = 2
+    else:
+        raise NotImplementedError(
+            f"colorspace {cs} unsupported (planar C444/C420* only)"
+        )
+    ysz = w * h
+    csz = (w // sub) * (h // sub)
+    frame_sz = ysz + 2 * csz
+    pos = nl + 1
+    frames = []
+    while pos < len(blob):
+        if blob[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at offset {pos}")
+        pos = blob.index(b"\n", pos) + 1  # frame params (if any) ignored
+        buf = np.frombuffer(blob, np.uint8, frame_sz, pos)
+        y = buf[:ysz].reshape(h, w)
+        u = buf[ysz : ysz + csz].reshape(h // sub, w // sub)
+        v = buf[ysz + csz :].reshape(h // sub, w // sub)
+        if sub != 1:
+            u = u.repeat(sub, 0).repeat(sub, 1)
+            v = v.repeat(sub, 0).repeat(sub, 1)
+        frames.append(np.stack([y, u, v], axis=-1))
+        pos += frame_sz
+    return np.stack(frames), fps
+
+
+def video_frame_features(
+    df: DataFrame,
+    *,
+    blob_col: str = "media",
+    id_col: str = "media_id",
+    every_ms: int | None = None,
+) -> DataFrame:
+    """Decode Y4M videos and emit per-sampled-frame plane sums via
+    mapInPandas — the video twin of image_features/audio_features, with
+    a REAL decoder on the default path. ``every_ms`` samples the frame
+    nearest each grid point (None = every frame); the distribution plan
+    is the one frame_sample_plan describes, with the decode step live."""
+    from pyspark.sql.types import LongType
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                frames, (fn_, fd_) = decode_y4m(bytes(blob))
+                n = len(frames)
+                if every_ms is None:
+                    idxs = range(n)
+                else:
+                    dur_ms = int(n * 1000 * fd_ / fn_)
+                    idxs = sorted(
+                        {
+                            min(int(t * fn_ / (1000 * fd_)), n - 1)
+                            for t in range(0, dur_ms + 1, every_ms)
+                        }
+                    )
+                sums = frames.astype(np.int64).sum(axis=(1, 2))
+                for i in idxs:
+                    rows.append(
+                        (
+                            mid,
+                            int(i),
+                            int(sums[i, 0]),
+                            int(sums[i, 1]),
+                            int(sums[i, 2]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_idx", "sum_y", "sum_u", "sum_v"],
+            )
+
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, False),
+            StructField("frame_idx", LongType(), False),
+            StructField("sum_y", LongType(), False),
+            StructField("sum_u", LongType(), False),
+            StructField("sum_v", LongType(), False),
         ]
     )
     return df.mapInPandas(fn, schema=schema)

@@ -400,7 +400,9 @@ SELECT doc_id, {_LANG_CASE} AS lang_pred FROM documents
 
 
 def q_dedup_exact(spark, sf_dir):
-    return dedup.dedup_exact(_t_wide(spark, sf_dir, "documents"))
+    # pristine scan: one md5 per row needs no fan-out (see
+    # q_dedup_keep_rows)
+    return dedup.dedup_exact(_t(spark, sf_dir, "documents"))
 
 
 SQL_DEDUP_EXACT = f"""
@@ -493,7 +495,13 @@ WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
 
 
 def q_dedup_keep_rows(spark, sf_dir):
-    return dedup.dedup_keep_rows(_t_wide(spark, sf_dir, "documents")).select(
+    """Pristine scan on BOTH sides (r2 bench regression root-caused: the
+    blanket _t_wide fan-out repartitioned the table twice — once per join
+    side — to parallelize ONE md5 per row, which a single core does at
+    ~100 MB/s anyway; fingerprinting is not compute-heavy the way k x
+    shingle minhashing is). Callers with genuinely heavy normalization
+    can pass compute_df to fan out only the winner pass."""
+    return dedup.dedup_keep_rows(_t(spark, sf_dir, "documents")).select(
         "doc_id", "lang", "n_chars"
     )
 
@@ -938,6 +946,67 @@ GROUP BY 1
 """
 
 
+def q_video_frame_sums(spark, sf_dir):
+    """Video decode, oracled end-to-end through REAL bytes: 3 deterministic
+    6x8 YUV frames per doc_id are encoded as an actual yuv4mpeg2 (C444)
+    stream, decoded back through the pure-numpy Y4M parser, and reduced
+    to integer per-plane sums per frame — DuckDB reproduces the sums in
+    closed form. Any header/FRAME-marker/plane-layout mistake breaks the
+    hash. Completes the modality set (BMP/PPM image, WAV audio, Y4M
+    video) with no stub on the default path."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from .operators.multimodal import encode_y4m, video_frame_features
+
+    _ship(spark)
+    docs = _t_wide(spark, sf_dir, "documents").select("doc_id")
+
+    def mk(batches):
+        import numpy as np
+
+        t = np.arange(3)[:, None, None, None]
+        r = np.arange(6)[None, :, None, None]
+        c = np.arange(8)[None, None, :, None]
+        p = np.arange(3)[None, None, None, :]
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"].astype("int64"):
+                fr = ((int(did) * 17 + 11 * t + 7 * r + 3 * c + 5 * p) % 256).astype(
+                    "uint8"
+                )
+                ids.append(int(did))
+                blobs.append(encode_y4m(fr, fps=(2, 1)))
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    media = docs.mapInPandas(
+        mk,
+        schema=StructType(
+            [
+                StructField("media_id", LongType(), False),
+                StructField("media", BinaryType(), False),
+            ]
+        ),
+    )
+    return video_frame_features(media, blob_col="media", id_col="media_id")
+
+
+SQL_VIDEO_DECODE = """
+SELECT d.doc_id AS media_id, t.range AS frame_idx,
+       CAST(sum((d.doc_id*17 + 11*t.range + 7*g.r + 3*g.c + 0) % 256)
+            AS BIGINT) AS sum_y,
+       CAST(sum((d.doc_id*17 + 11*t.range + 7*g.r + 3*g.c + 5) % 256)
+            AS BIGINT) AS sum_u,
+       CAST(sum((d.doc_id*17 + 11*t.range + 7*g.r + 3*g.c + 10) % 256)
+            AS BIGINT) AS sum_v
+FROM documents d
+CROSS JOIN range(3) t
+CROSS JOIN (SELECT rr.range AS r, cc.range AS c
+            FROM range(6) rr CROSS JOIN range(8) cc) g
+GROUP BY 1, 2
+"""
+
+
 def q_hll_fold_union(spark, sf_dir):
     """First-class fold surface (src/hll.js:363-398): two pipeline halves
     sketch the same table at different precisions (log2m 13 and 11, as a
@@ -1373,6 +1442,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_ndv_events_hourly": q_hll_ndv_events_hourly,
     "hll_sketch_rollup": q_hll_sketch_rollup,
     "hll_sketch_rollup_estimate": q_hll_sketch_rollup_estimate,
+    "video_frame_sums": q_video_frame_sums,
 }
 
 ORACLES: dict[str, str] = {
@@ -1410,4 +1480,5 @@ ORACLES: dict[str, str] = {
     "user_overlap_exact": SQL_USER_OVERLAP,
     "hll_intersection_explicit": SQL_USER_OVERLAP,
     "hll_sketch_rollup": SQL_SKETCH_ROLLUP,
+    "video_frame_sums": SQL_VIDEO_DECODE,
 }

@@ -150,3 +150,80 @@ def test_audio_features_spark(spark):
         assert 0.1 < r["rms"] < 0.5
         # a (i+1)*10 Hz-per-frame sine has ~2*(i+1)*10 crossings in 0.1 s
         assert abs(r["zero_crossings"] - 2 * (i + 1) * 10) <= 2
+
+
+def test_y4m_roundtrip_c444():
+    """encode_y4m -> decode_y4m is value-exact for C444 planar frames."""
+    import numpy as np
+
+    from js_hll_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (4, 6, 8, 3), dtype=np.uint8)
+    blob = encode_y4m(frames, fps=(30, 1))
+    got, fps = decode_y4m(blob)
+    assert fps == (30, 1)
+    assert got.shape == frames.shape
+    assert (got == frames).all()
+
+
+def test_y4m_c420_chroma_upsample():
+    """Hand-built C420 stream: Y at full res, U/V quarter res; the decoder
+    nearest-upsamples chroma to (n, h, w, 3)."""
+    import numpy as np
+
+    from js_hll_spark.operators.multimodal import decode_y4m
+
+    h, w = 4, 6
+    y = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+    u = np.full((h // 2, w // 2), 100, np.uint8)
+    v = np.full((h // 2, w // 2), 200, np.uint8)
+    blob = (
+        b"YUV4MPEG2 W6 H4 F25:1 Ip A1:1 C420jpeg\n"
+        + b"FRAME\n"
+        + y.tobytes()
+        + u.tobytes()
+        + v.tobytes()
+    )
+    frames, fps = decode_y4m(blob)
+    assert fps == (25, 1)
+    assert frames.shape == (1, 4, 6, 3)
+    assert (frames[0, :, :, 0] == y).all()
+    assert (frames[0, :, :, 1] == 100).all()
+    assert (frames[0, :, :, 2] == 200).all()
+
+
+def test_y4m_unsupported_colorspace_is_honest():
+    import numpy as np
+
+    from js_hll_spark.operators.multimodal import decode_y4m
+
+    blob = b"YUV4MPEG2 W2 H2 F25:1 C422\n" + b"FRAME\n" + bytes(8)
+    with pytest.raises(NotImplementedError):
+        decode_y4m(blob)
+
+
+def test_video_frame_features_sampling(spark):
+    """every_ms picks the frame nearest each grid point; None emits all.
+    Runs through the real Spark mapInPandas path on binary blobs."""
+    import numpy as np
+
+    from js_hll_spark.operators.multimodal import (
+        encode_y4m,
+        video_frame_features,
+    )
+
+    frames = np.arange(10 * 2 * 2 * 3, dtype=np.uint8).reshape(10, 2, 2, 3)
+    blob = encode_y4m(frames, fps=(2, 1))  # 2 fps -> 5 s clip
+    df = spark.createDataFrame([(1, bytearray(blob))], "media_id long, media binary")
+    all_rows = video_frame_features(df).collect()
+    assert [r["frame_idx"] for r in all_rows] == list(range(10))
+    # expected sums straight from the source array
+    exp = frames.astype(np.int64).sum(axis=(1, 2))
+    for r in all_rows:
+        assert (r["sum_y"], r["sum_u"], r["sum_v"]) == tuple(
+            exp[r["frame_idx"]]
+        )
+    sampled = video_frame_features(df, every_ms=2000).collect()
+    # grid 0,2,4 s at 2 fps -> frames 0, 4, 8
+    assert [r["frame_idx"] for r in sampled] == [0, 4, 8]
