@@ -59,3 +59,41 @@ def test_kll_vs_percentile_approx(spark, lineitem):
     for est, b, ex in zip((ours["q50"], ours["q90"]), builtin, exact):
         assert abs(est - ex) / ex < 0.05
         assert abs(b - ex) / ex < 0.05
+
+
+def test_hll_vs_spark_datasketches_hll(spark, events):
+    """Spark 3.5+ ships Apache DataSketches HLL (hll_sketch_agg /
+    hll_sketch_estimate). Formats differ from the AK storage spec by
+    design; the cross-check is estimate-vs-estimate agreement per group —
+    a third independent estimator family over the same data."""
+    import math
+
+    if not hasattr(F, "hll_sketch_estimate"):
+        import pytest
+
+        pytest.skip("no datasketches HLL in this Spark")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    ours = {
+        r["event_type"]: r["ndv"]
+        for r in hll_ndv(events, "user_id", by=["event_type"], log2m=13).collect()
+    }
+    ds = {
+        r["event_type"]: r["ndv"]
+        for r in events.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id"), F.lit(13))
+            ).alias("ndv")
+        )
+        .collect()
+    }
+    bound = 3 * 1.04 / math.sqrt(2**13)
+    for k, n in exact.items():
+        assert abs(ours[k] - n) / n < bound, (k, ours[k], n)
+        assert abs(ds[k] - n) / n < bound, (k, ds[k], n)
+        assert abs(ours[k] - ds[k]) / n < 2 * bound, k
