@@ -1185,6 +1185,31 @@ FROM documents GROUP BY lang
 """
 
 
+def q_hll_union_agg_sql(spark, sf_dir):
+    """The postgresql-hll hll_union_agg surface as a Spark SQL GROUP BY
+    aggregate, ORACLED: explicit-mode sketches at (lang, source) are
+    rolled up to lang entirely inside spark.sql via the registered
+    GROUPED_AGG pandas UDAF — exact while explicit (same argument as
+    q_hll_sketch_rollup), so it hash-matches count(DISTINCT text)."""
+    from .spark.functions import register_sql_functions
+
+    _ship(spark)
+    register_sql_functions(spark)
+    fine = hll_sketch(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        by=["lang", "source"],
+        log2m=16,
+        engine="python",
+        estimate=False,
+    )
+    fine.createOrReplaceTempView("__sk_union_agg")
+    return spark.sql(
+        "SELECT lang, CAST(hll_ndv_agg(sketch) AS BIGINT) AS ndv"
+        " FROM __sk_union_agg GROUP BY lang"
+    )
+
+
 def q_hll_sketch_rollup_estimate(spark, sf_dir):
     """Estimate-tier twin of hll_sketch_rollup: dense-register sketches
     at log2m=12 rolled up to lang — the 100 TB path, where per-group
@@ -1442,6 +1467,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_ndv_events_hourly": q_hll_ndv_events_hourly,
     "hll_sketch_rollup": q_hll_sketch_rollup,
     "hll_sketch_rollup_estimate": q_hll_sketch_rollup_estimate,
+    "hll_union_agg_sql": q_hll_union_agg_sql,
     "video_frame_sums": q_video_frame_sums,
 }
 
@@ -1480,5 +1506,6 @@ ORACLES: dict[str, str] = {
     "user_overlap_exact": SQL_USER_OVERLAP,
     "hll_intersection_explicit": SQL_USER_OVERLAP,
     "hll_sketch_rollup": SQL_SKETCH_ROLLUP,
+    "hll_union_agg_sql": SQL_SKETCH_ROLLUP,
     "video_frame_sums": SQL_VIDEO_DECODE,
 }

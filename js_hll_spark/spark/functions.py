@@ -62,17 +62,58 @@ def hll_fold_udf(sketches: pd.Series, log2m: pd.Series) -> pd.Series:
     )
 
 
+@pandas_udf(BinaryType())
+def hll_union_agg_udf(sketches: pd.Series) -> bytes:
+    """TRUE AGGREGATE union of a sketch column (pandas GROUPED_AGG):
+
+        df.groupBy("lang").agg(hll_union_agg_udf("sketch"))
+        spark.sql("SELECT lang, hll_cardinality(hll_union_agg(sketch))
+                   FROM sketches GROUP BY lang")
+
+    This is postgresql-hll's hll_union_agg — the reference ecosystem's
+    table-scale union (README.markdown's postgres examples) — as a
+    first-class Spark aggregate expression, composable with any other
+    aggregate in the same .agg()/GROUP BY. For large rollups prefer
+    hll_rollup (streamed whole-batch assembly); this surface exists for
+    SQL ergonomics and mixed-aggregate queries. Null blobs are skipped;
+    an all-null group returns NULL (SQL aggregate convention)."""
+    acc: HLL | None = None
+    for b in sketches:
+        if b is None:
+            continue
+        s = HLL.from_bytes(bytes(b))
+        acc = s if acc is None else acc.union(s)
+    return acc.to_bytes() if acc is not None else None
+
+
+@pandas_udf(DoubleType())
+def hll_ndv_agg_udf(sketches: pd.Series) -> float:
+    """GROUPED_AGG companion of hll_union_agg_udf that returns the
+    estimate directly: SELECT lang, hll_ndv_agg(sketch) ... GROUP BY."""
+    acc: HLL | None = None
+    for b in sketches:
+        if b is None:
+            continue
+        s = HLL.from_bytes(bytes(b))
+        acc = s if acc is None else acc.union(s)
+    return acc.algorithm_cardinality() if acc is not None else None
+
+
 def register_sql_functions(spark) -> None:
     """Expose the sketch column functions to SQL:
 
         SELECT lang, hll_cardinality(sketch) FROM sketches
         SELECT hll_cardinality(hll_union_pair(a.sketch, b.sketch)) ...
         SELECT hll_to_hex(sketch), hll_fold(sketch, 11) ...
+        SELECT lang, hll_ndv_agg(sketch) FROM sketches GROUP BY lang
 
     Mirrors the reference's postgres-ecosystem usage (hex in a database
-    column, src/hll.js:160-176) for users who live in spark.sql."""
+    column, src/hll.js:160-176; hll_union_agg from postgresql-hll) for
+    users who live in spark.sql."""
     spark.udf.register("hll_cardinality", hll_cardinality_udf)
     spark.udf.register("hll_to_hex", hll_to_hex_udf)
     spark.udf.register("hll_from_hex", hll_from_hex_udf)
     spark.udf.register("hll_union_pair", hll_union_pair_udf)
     spark.udf.register("hll_fold", hll_fold_udf)
+    spark.udf.register("hll_union_agg", hll_union_agg_udf)
+    spark.udf.register("hll_ndv_agg", hll_ndv_agg_udf)

@@ -344,3 +344,48 @@ def test_keyed_assembly_null_group_keys(spark):
             assert abs(rolled[k] - by_key[k]["ndv"]) < 1e-9, k
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", small)
+
+
+def test_grouped_agg_udaf_matches_rollup(spark, documents):
+    """hll_union_agg/hll_ndv_agg (pandas GROUPED_AGG — the postgresql-hll
+    hll_union_agg surface as a true Spark aggregate expression) must be
+    byte-identical to hll_rollup on the same sketch table, and usable
+    from plain SQL GROUP BY."""
+    from js_hll_spark.spark.functions import (
+        hll_ndv_agg_udf,
+        hll_union_agg_udf,
+        register_sql_functions,
+    )
+
+    fine = hll_sketch(
+        documents, "text", by=["lang", "source"], log2m=12, estimate=False
+    ).cache()
+    agg = {
+        r["lang"]: (r["ndv"], bytes(r["sk"]))
+        for r in fine.groupBy("lang")
+        .agg(
+            hll_ndv_agg_udf("sketch").alias("ndv"),
+            hll_union_agg_udf("sketch").alias("sk"),
+        )
+        .collect()
+    }
+    rolled = {
+        r["lang"]: (r["ndv"], bytes(r["sketch"]))
+        for r in hll_rollup(fine, ["lang"]).collect()
+    }
+    assert agg.keys() == rolled.keys()
+    for k in rolled:
+        assert abs(agg[k][0] - rolled[k][0]) < 1e-9
+        assert agg[k][1] == rolled[k][1]
+    register_sql_functions(spark)
+    fine.createOrReplaceTempView("__sk_agg_test")
+    via_sql = {
+        r["lang"]: r["ndv"]
+        for r in spark.sql(
+            "SELECT lang, hll_ndv_agg(sketch) AS ndv"
+            " FROM __sk_agg_test GROUP BY lang"
+        ).collect()
+    }
+    for k in rolled:
+        assert abs(via_sql[k] - rolled[k][0]) < 1e-9
+    fine.unpersist()
