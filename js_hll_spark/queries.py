@@ -253,6 +253,11 @@ def q_sessionize(spark, sf_dir):
     """Sessionization on the events stream table: a new session starts
     after a >30 min gap per user; returns sessions per user (window
     functions: lag + cumulative sum)."""
+    # pin UTC here, not only in our session factory: the driver gate owns
+    # its own SparkSession, and on a non-UTC host a DST transition inside
+    # the NTZ->timestamp->double chain would shift one side of a gap by
+    # +-3600 s and flip the >1800 predicate (r2 advice)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     events = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
     # sub-second-exact epoch: unix_timestamp truncates to whole seconds
@@ -1101,6 +1106,11 @@ def q_streaming_ndv_stateful(spark, sf_dir):
     import uuid
 
     from .streaming.stateful import stateful_streaming_ndv
+
+    # the NTZ->TIMESTAMP->NTZ round trip below is wall-clock-preserving
+    # only under a fixed-offset zone; pin UTC against driver-owned
+    # sessions on DST hosts (same reasoning as q_sessionize)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     _ship(spark)
     base = tempfile.mkdtemp(prefix="stream_state_")
