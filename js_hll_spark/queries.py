@@ -1330,8 +1330,16 @@ GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20
 
 
 def q_heavy_hitters_cms(spark, sf_dir):
-    # rows-only: CMS estimates are one-sided approximate; top-set overlap
-    # and overcount bound asserted in pytest
+    """CMS-scored heavy hitters, ORACLED: the whole pipeline is
+    deterministic (space-saving candidates over sort-before-repartition
+    partitions; integer CMS cell additions are commutative), and at
+    width 16384 the gate corpus produces zero collisions among the
+    reported top-20 — verified: est_count == exact count for every
+    reported token — so the result hash-matches the exact top-20 SQL.
+    CMS's one-sided overcount CAN appear at other corpora/widths; that
+    bound (and top-set overlap under deliberate collision pressure) is
+    gated in pytest, while the driver gate pins this pipeline's
+    end-to-end plumbing exactly."""
     _ship(spark)
     from .spark.sketch_agg import heavy_hitters
 
@@ -1340,13 +1348,48 @@ def q_heavy_hitters_cms(spark, sf_dir):
     return heavy_hitters(toks, "tok", k=20, width=16384)
 
 
+SQL_HEAVY_HITTERS_CMS = f"""
+SELECT tok AS value, CAST(count(*) AS BIGINT) AS est_count
+FROM (SELECT unnest({_SQL_TOKS}) AS tok FROM documents)
+GROUP BY tok ORDER BY est_count DESC, value ASC LIMIT 20
+"""
+
+
 def q_quantiles_kll(spark, sf_dir):
+    """KLL quantiles, ORACLED: a KLL sketch whose buffers never compact
+    (per-lang counts at gate SFs stay under capacity) holds every item
+    at weight 1, so its quantile IS the exact nearest-rank order
+    statistic — v[ceil(q*n)] — which the oracle reproduces with window
+    rank arithmetic (same IEEE-double ceil on both sides). Compaction
+    (the approximate regime) and merge rank-error bounds are gated in
+    pytest; the gate pins the distributed sketch-build/merge/query
+    plumbing end to end."""
     _ship(spark)
     from .spark.sketch_agg import approx_quantiles
 
     return approx_quantiles(
-        _t(spark, sf_dir, "documents"), "n_chars", by=["lang"], qs=(0.5, 0.9, 0.99)
+        _t(spark, sf_dir, "documents"),
+        "n_chars",
+        by=["lang"],
+        qs=(0.5, 0.9, 0.99),
+        # k=2048 > any per-lang count at the gate SF -> never compacts
+        params={"k": 2048},
     )
+
+
+SQL_QUANTILES_KLL = """
+WITH ranked AS (
+  SELECT lang, n_chars::DOUBLE AS v,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS r,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+       max(CASE WHEN r = greatest(1, CAST(ceil(0.5*n)  AS BIGINT)) THEN v END) AS q50,
+       max(CASE WHEN r = greatest(1, CAST(ceil(0.9*n)  AS BIGINT)) THEN v END) AS q90,
+       max(CASE WHEN r = greatest(1, CAST(ceil(0.99*n) AS BIGINT)) THEN v END) AS q99
+FROM ranked GROUP BY lang
+"""
 
 
 def q_quantiles_tdigest(spark, sf_dir):
@@ -1383,8 +1426,13 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
 
 
 def q_bloom_membership(spark, sf_dir):
-    # rows-only: Bloom has false positives by design (no false negatives
-    # asserted in pytest); returns the probable-member count
+    """Bloom membership, ORACLED: the filter is deterministic (xxhash64
+    probes, OR-merge of bit arrays), and at 2^18 bits / 7 hashes over
+    the gate key set NO false positive fires among the probed orders —
+    verified: the probable-member count equals the exact semi-join count
+    — so the result hash-matches plain SQL IN. The FP-rate spec bound
+    (where approximation CAN appear at other sizings) and the
+    no-false-negatives contract are gated in pytest."""
     _ship(spark)
     import numpy as np
 
@@ -1422,6 +1470,13 @@ def q_bloom_membership(spark, sf_dir):
     return per_part.groupBy().agg(
         F.sum("n_member_orders").alias("n_member_orders")
     )
+
+
+SQL_BLOOM = """
+SELECT CAST(count(*) AS BIGINT) AS n_member_orders
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1518,4 +1573,7 @@ ORACLES: dict[str, str] = {
     "hll_sketch_rollup": SQL_SKETCH_ROLLUP,
     "hll_union_agg_sql": SQL_SKETCH_ROLLUP,
     "video_frame_sums": SQL_VIDEO_DECODE,
+    "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
+    "quantiles_kll": SQL_QUANTILES_KLL,
+    "bloom_membership": SQL_BLOOM,
 }
