@@ -105,6 +105,10 @@ def main() -> None:
         "dedup_keep_rows",
         "hll_ndv_by_lang",
         "hll_ndv_events_hourly",
+        "hll_sketch_rollup",
+        "hll_union_agg_sql",
+        "video_frame_sums",
+        "heavy_hitters_cms",
     ]
     for name in bench_queries:
         fn = QUERIES[name]
