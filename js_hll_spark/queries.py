@@ -1355,6 +1355,36 @@ GROUP BY tok ORDER BY est_count DESC, value ASC LIMIT 20
 """
 
 
+def q_heavy_hitters_by_lang(spark, sf_dir):
+    """PER-GROUP heavy hitters (top tokens per lang), ORACLED by the same
+    zero-collision argument as heavy_hitters_cms: one CMS per group, a
+    bounded space-saving candidate pass per (partition, group), and the
+    candidates join their group's sketch on the keys — no broadcast of
+    the sketch table, no global ordering; the per-group top-k is a
+    window rank. The workhorse 'top tokens per language / per domain'
+    query of a training-data pipeline."""
+    _ship(spark)
+    from .spark.sketch_agg import heavy_hitters
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(text.tokens("text")).alias("tok"))
+    return heavy_hitters(toks, "tok", by=["lang"], k=5, width=16384)
+
+
+SQL_HEAVY_HITTERS_BY_LANG = f"""
+WITH counts AS (
+  SELECT lang, tok AS value, CAST(count(*) AS BIGINT) AS est_count
+  FROM (SELECT lang, unnest({_SQL_TOKS}) AS tok FROM documents)
+  GROUP BY lang, tok
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY est_count DESC, value ASC) AS rn
+  FROM counts
+)
+SELECT lang, value, est_count FROM ranked WHERE rn <= 5
+"""
+
+
 def q_quantiles_kll(spark, sf_dir):
     """KLL quantiles, ORACLED: a KLL sketch whose buffers never compact
     (per-lang counts at gate SFs stay under capacity) holds every item
@@ -1518,6 +1548,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "checkpoint_pipeline": q_checkpoint_pipeline,
     "heavy_hitters_exact": q_heavy_hitters_exact,
     "heavy_hitters_cms": q_heavy_hitters_cms,
+    "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
     "quantiles_kll": q_quantiles_kll,
     "quantiles_tdigest": q_quantiles_tdigest,
     "semijoin_membership": q_semijoin_membership,
@@ -1574,6 +1605,7 @@ ORACLES: dict[str, str] = {
     "hll_union_agg_sql": SQL_SKETCH_ROLLUP,
     "video_frame_sums": SQL_VIDEO_DECODE,
     "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
+    "heavy_hitters_by_lang": SQL_HEAVY_HITTERS_BY_LANG,
     "quantiles_kll": SQL_QUANTILES_KLL,
     "bloom_membership": SQL_BLOOM,
 }

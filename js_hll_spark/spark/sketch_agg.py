@@ -279,6 +279,7 @@ class SpaceSavingCounter:
 def heavy_hitters(
     df: DataFrame,
     col: str,
+    by: Sequence[str] = (),
     *,
     k: int = 20,
     depth: int = 5,
@@ -286,31 +287,40 @@ def heavy_hitters(
     candidate_pool: int | None = None,
     candidates: str = "partition",
 ) -> DataFrame:
-    """Approximate top-k frequent values: a candidate set is scored
-    against the global count-min sketch; top-k by estimated count.
+    """Approximate top-k frequent values — per ``by`` group when given: a
+    candidate set is scored against the group's count-min sketch; top-k
+    by estimated count. Returns (keys..., value, est_count).
 
     Candidate generation (``candidates``):
     - 'partition' (default, the sketch-driven scale path): each partition
-      nominates its local top values via bounded pandas value_counts
-      (mapInPandas, periodic truncation to a multiple of the pool — a
-      space-saving-style counter). Only pool x partitions candidate
-      strings ever shuffle; a true global heavy hitter is by pigeonhole a
-      local heavy hitter in at least one partition, and the global CMS
-      (not the lossy local counts) produces the reported estimates.
-    - 'jvm': exact two-phase HashAggregate count + orderBy/limit. The
-      map-side partial agg collapses per-partition duplicates before the
-      shuffle, but the shuffle still carries the full distinct key space —
-      this is the exact twin for oracles/tests, not the 100 TB default.
+      nominates its local top values via a bounded space-saving counter
+      per group (mapInPandas). Only pool x partitions x groups candidate
+      strings ever shuffle; a true heavy hitter is by pigeonhole a local
+      heavy hitter in at least one partition, and the CMS (not the lossy
+      local counts) produces the reported estimates. Per-partition state
+      is bounded per GROUP — with very many groups per partition prefer
+      'jvm' (or pre-partition by the group keys).
+    - 'jvm': exact two-phase HashAggregate count + per-group window
+      top-pool. The map-side partial agg collapses per-partition
+      duplicates before the shuffle, but the shuffle still carries the
+      full distinct key space — this is the exact twin for oracles/tests,
+      not the 100 TB default.
 
     The CMS remains the persistable, mergeable frequency artifact either
     way; its one-sided error bounds the reported counts
     (SURVEY.md §2.2 'frequency')."""
     from pyspark.sql.types import StringType
 
-    src = df.select(F.col(col).cast("string").alias(_VAL)).filter(
-        F.col(_VAL).isNotNull()
-    )
+    keys = list(by)
+    src = df.select(
+        *keys, F.col(col).cast("string").alias(_VAL)
+    ).filter(F.col(_VAL).isNotNull())
     pool = candidate_pool or max(200, 10 * k)
+    if keys:
+        return _heavy_hitters_grouped(
+            src, keys, k=k, depth=depth, width=width, pool=pool,
+            candidates=candidates,
+        )
 
     if candidates == "jvm":
         cand = (
@@ -319,7 +329,7 @@ def heavy_hitters(
             .orderBy(F.desc("__n"), F.asc(_VAL))
             .limit(pool)
             .select(F.col(_VAL).alias("value"))
-        )
+        )  # global path continues below
     else:
 
         def candidates_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -356,3 +366,90 @@ def heavy_hitters(
         ),
     )
     return scored.orderBy(F.desc("est_count"), F.asc("value")).limit(k)
+
+
+def _heavy_hitters_grouped(
+    src: DataFrame,
+    keys: list[str],
+    *,
+    k: int,
+    depth: int,
+    width: int,
+    pool: int,
+    candidates: str,
+) -> DataFrame:
+    """Per-group heavy hitters: one CMS per group (sketch_agg ``by``),
+    per-group candidate nomination, candidates join their group's sketch
+    on the keys (co-partitioned equi-join, no broadcast of all sketches),
+    and a per-group window top-k. src = (keys..., _VAL string)."""
+    from pyspark.sql.types import StringType
+    from pyspark.sql.window import Window
+
+    key_fields = [src.schema[kcol] for kcol in keys]
+    if candidates == "jvm":
+        w_pool = Window.partitionBy(*keys).orderBy(F.desc("__n"), F.asc(_VAL))
+        cand = (
+            src.groupBy(*keys, _VAL)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .withColumn("__rn", F.row_number().over(w_pool))
+            .filter(F.col("__rn") <= pool)
+            .select(*keys, F.col(_VAL).alias("value"))
+        )
+    else:
+        cand_schema = StructType(
+            key_fields + [StructField("value", StringType())]
+        )
+
+        def candidates_fn(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            counters: dict[tuple, SpaceSavingCounter] = {}
+            for pdf in batches:
+                for gkey, sub in pdf.groupby(keys, dropna=False, sort=False):
+                    if not isinstance(gkey, tuple):
+                        gkey = (gkey,)
+                    c = counters.get(gkey)
+                    if c is None:
+                        c = counters[gkey] = SpaceSavingCounter(pool)
+                    c.update(sub[_VAL].value_counts())
+            rows = []
+            for gkey, c in counters.items():
+                top = c.top(pool)
+                if top is not None:
+                    rows.extend(tuple(gkey) + (str(v),) for v in top.index)
+            if rows:
+                yield pd.DataFrame(rows, columns=[*keys, "value"])
+
+        cand = src.mapInPandas(candidates_fn, schema=cand_schema).distinct()
+
+    cms_df = sketch_agg(
+        src, _VAL, keys, kind="cms", params={"depth": depth, "width": width}
+    )
+    hashed = cand.join(cms_df.select(*keys, "sketch"), keys).withColumn(
+        "__h", F.xxhash64("value")
+    )
+
+    def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = CountMinSketch.from_bytes(bytes(pdf["sketch"].iloc[0]))
+        est = sk.query_hashed(to_uint64(pdf["__h"].to_numpy()))
+        out = {kcol: pdf[kcol] for kcol in keys}
+        out["value"] = pdf["value"]
+        out["est_count"] = est
+        return pd.DataFrame(out)
+
+    scored = hashed.groupBy(*keys).applyInPandas(
+        score_fn,
+        schema=StructType(
+            key_fields
+            + [
+                StructField("value", StringType()),
+                StructField("est_count", LongType()),
+            ]
+        ),
+    )
+    w = Window.partitionBy(*keys).orderBy(F.desc("est_count"), F.asc("value"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(*keys, "value", "est_count")
+    )

@@ -294,3 +294,36 @@ class TestSpaceSavingCounter:
         counter.update(pd.Series({"a": 1, "c": 9}))
         top = counter.top(3)
         assert dict(top) == {"c": 9.0, "a": 6.0, "b": 2.0}
+
+
+def test_grouped_heavy_hitters_modes_agree(spark, documents):
+    """Per-group heavy hitters: the partition-mode space-saving candidate
+    pass and the exact jvm candidate pass must report the same top-k per
+    group (candidate recall suffices at this sizing), matching the exact
+    per-group counts."""
+    from js_hll_spark.operators import text
+    from js_hll_spark.spark.sketch_agg import heavy_hitters
+    from pyspark.sql.window import Window
+
+    toks = documents.select("lang", F.explode(text.tokens("text")).alias("tok"))
+    results = {}
+    for mode in ("partition", "jvm"):
+        hh = heavy_hitters(
+            toks, "tok", by=["lang"], k=5, width=16384, candidates=mode
+        )
+        results[mode] = {
+            (r["lang"], r["value"]): r["est_count"] for r in hh.collect()
+        }
+    assert results["partition"] == results["jvm"]
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    exact = {
+        (r["lang"], r["tok"]): r["n"]
+        for r in toks.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5")
+        .collect()
+    }
+    assert results["jvm"] == exact
+    # 5 langs x top-5
+    assert len(exact) == 25
