@@ -806,6 +806,20 @@ def q_ann_lsh(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+def q_hll_ndv_multi(spark, sf_dir):
+    """One-scan NDV profile of three columns (url/domain-style table
+    profiling — at 100 TB the scan dominates, so per-column hll_ndv
+    calls pay it N times; this pays it once). Rows-only (dense-register
+    estimates); bit-identity with per-column hll_ndv and the single
+    FileScan plan are pinned in pytest."""
+    _ship(spark)
+    from .spark.agg import hll_ndv_multi
+
+    return hll_ndv_multi(
+        _t(spark, sf_dir, "documents"), ["text", "lang", "source"], log2m=13
+    )
+
+
 def q_hll_ndv_global(spark, sf_dir):
     _ship(spark)
     return hll_ndv(_t(spark, sf_dir, "documents"), "text", log2m=13)
@@ -1558,6 +1572,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_interop_hex": q_hll_interop_hex,
     "bloom_membership": q_bloom_membership,
     "hll_ndv_global": q_hll_ndv_global,
+    "hll_ndv_multi": q_hll_ndv_multi,
     "hll_ndv_by_lang": q_hll_ndv_by_lang,
     "hll_ndv_murmur3": q_hll_ndv_murmur3,
     "hll_ndv_events_hourly": q_hll_ndv_events_hourly,

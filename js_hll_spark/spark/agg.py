@@ -346,6 +346,7 @@ def hll_sketch_sql(
     regwidth: int = 5,
     estimate: bool = True,
     keep_sketch: bool = True,
+    _prehashed: bool = False,
 ) -> DataFrame:
     """All-JVM variant of hll_sketch: the register file is computed by
     Catalyst itself as ``groupBy(keys, register_index).agg(max(rho))``
@@ -359,12 +360,19 @@ def hll_sketch_sql(
     hashes (wins when rows >> m x partitions), but the shuffle carries
     up to m rows per (key, partition) instead of one ~m-byte blob.
     Results are bit-identical between the two paths (tested).
+
+    ``_prehashed``: ``value_col`` already holds the xxhash64 value (used
+    by hll_ndv_multi's one-scan long form; caller filtered nulls).
     """
     config = HLLConfig(log2m, regwidth)
     keys = list(by)
 
-    df = df.filter(F.col(value_col).isNotNull())  # countDistinct semantics
-    h = F.xxhash64(F.col(value_col))
+    if _prehashed:
+        h = F.col(value_col)
+    else:
+        # countDistinct semantics
+        df = df.filter(F.col(value_col).isNotNull())
+        h = F.xxhash64(F.col(value_col))
     idx = h.bitwiseAND(F.lit(config.register_index_mask)).alias("__idx")
     w = F.shiftrightunsigned(h, config.log2m)
     # ctz(w) = bit_count(~w & (w - 1)); rho = min(maxreg, ctz + 1), 0 if w=0
@@ -488,6 +496,55 @@ def hll_ndv(
         engine=engine,
     )
     return out.select(*by, "ndv")
+
+
+def hll_ndv_multi(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    by: Sequence[str] = (),
+    *,
+    log2m: int = 13,
+    regwidth: int = 5,
+) -> DataFrame:
+    """Approximate NDV of SEVERAL columns in ONE table scan. At 100 TB
+    the scan dominates, so profiling a table's url/domain/text NDVs as
+    separate hll_ndv calls pays the scan once per column; here each row
+    is hashed once per column JVM-side, exploded into (column, hash)
+    long form (narrow: a tag and 8 bytes — never the row), and sketched
+    with the column tag as an extra group key. Estimates are
+    bit-identical to per-column hll_ndv (same hashes, same registers;
+    tested). Returns (keys..., column, ndv)."""
+    keys = list(by)
+    structs = [
+        F.struct(
+            F.lit(c).alias("__col"),
+            F.xxhash64(F.col(c)).alias("__h"),
+            F.col(c).isNull().alias("__isnull"),
+        )
+        for c in value_cols
+    ]
+    tagged = (
+        df.select(*keys, F.explode(F.array(*structs)).alias("__s"))
+        # per-column null filter AFTER the explode (xxhash64(NULL) is the
+        # seed, not NULL — it must not count as a value)
+        .filter(~F.col("__s.__isnull"))
+        .select(
+            *keys,
+            F.col("__s.__col").alias("__col"),
+            F.col("__s.__h").alias("__h"),
+        )
+    )
+    out = hll_sketch_sql(
+        tagged,
+        "__h",
+        keys + ["__col"],
+        log2m=log2m,
+        regwidth=regwidth,
+        estimate=True,
+        keep_sketch=False,
+        _prehashed=True,
+    )
+    return out.select(*keys, F.col("__col").alias("column"), "ndv")
 
 
 def hll_rollup(

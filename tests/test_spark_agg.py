@@ -389,3 +389,37 @@ def test_grouped_agg_udaf_matches_rollup(spark, documents):
     for k in rolled:
         assert abs(via_sql[k] - rolled[k][0]) < 1e-9
     fine.unpersist()
+
+
+def test_hll_ndv_multi_one_scan_bit_identical(spark, documents, tmp_path):
+    """hll_ndv_multi: estimates bit-identical to per-column hll_ndv, and
+    the physical plan reads the table ONCE (the whole point at 100 TB)."""
+    from js_hll_spark.spark.agg import hll_ndv_multi
+
+    path = str(tmp_path / "docs")
+    documents.write.parquet(path)
+    df = spark.read.parquet(path)
+    multi = {
+        r["column"]: r["ndv"]
+        for r in hll_ndv_multi(df, ["text", "lang", "source"], log2m=12).collect()
+    }
+    for c in ("text", "lang", "source"):
+        single = hll_ndv(df, c, log2m=12).first()["ndv"]
+        assert multi[c] == single, c
+    plan = (
+        hll_ndv_multi(df, ["text", "lang", "source"], log2m=12)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan") == 1
+    # nulls in one column must not leak into its sketch
+    with_nulls = df.withColumn(
+        "maybe", F.when(F.col("doc_id") % 2 == 0, F.col("lang"))
+    )
+    m = {
+        r["column"]: r["ndv"]
+        for r in hll_ndv_multi(with_nulls, ["maybe", "lang"], log2m=12).collect()
+    }
+    only_even = with_nulls.filter("maybe IS NOT NULL")
+    assert m["maybe"] == hll_ndv(only_even, "maybe", log2m=12).first()["ndv"]
