@@ -1180,6 +1180,52 @@ def q_streaming_ndv_stateful(spark, sf_dir):
     )
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact deduplication, ORACLED: documents replay as a
+    3-file micro-batched stream; ``dropDuplicates('fp')`` keeps the
+    first-seen row per normalized-text fingerprint in the Structured
+    Streaming state store (the third state-store surface next to
+    foreachBatch and applyInPandasWithState). The emitted fingerprint
+    SET is arrival-order independent, so it hash-matches DISTINCT md5
+    SQL even though which duplicate row wins is not deterministic. At
+    100 TB use dropDuplicatesWithinWatermark to bound state by event
+    time (pinned in test_streaming)."""
+    import tempfile
+    import uuid
+
+    _ship(spark)
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.fingerprint("text").alias("fp")
+    )
+    indir = f"{base}/in"
+    docs.repartition(3).write.parquet(indir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.dropDuplicates(["fp"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("fp")
+
+
+SQL_STREAMING_DEDUP = f"""
+SELECT DISTINCT md5(array_to_string({_SQL_TOKS}, ' ')) AS fp FROM documents
+"""
+
+
 def q_hll_sketch_rollup(spark, sf_dir):
     """Sketch-table rollup, ORACLED: sketch at (lang, source) grain with
     python-engine sketches at log2m=16 (auto explicit threshold 4096 >
@@ -1536,6 +1582,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed_counts": q_events_windowed_counts,
     "streaming_ndv_hourly": q_streaming_ndv_hourly,
     "streaming_ndv_stateful": q_streaming_ndv_stateful,
+    "streaming_dedup": q_streaming_dedup,
     "hll_fold_union": q_hll_fold_union,
     "image_decode_sums": q_image_decode_sums,
     "audio_decode_sums": q_audio_decode_sums,
@@ -1595,6 +1642,7 @@ ORACLES: dict[str, str] = {
     "events_windowed_counts": SQL_EVENTS_WINDOWED,
     "streaming_ndv_hourly": SQL_EVENTS_WINDOWED,
     "streaming_ndv_stateful": SQL_EVENTS_WINDOWED,
+    "streaming_dedup": SQL_STREAMING_DEDUP,
     "image_decode_sums": SQL_IMAGE_DECODE,
     "audio_decode_sums": SQL_AUDIO_DECODE,
     "sessionize": SQL_SESSIONIZE,

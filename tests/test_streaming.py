@@ -198,3 +198,40 @@ def test_state_swap_crash_recovery(spark, events, tmp_path):
     assert ndv_state() == before
     assert not os.path.exists(state_path + ".tmp99")
     assert not os.path.exists(state_path + ".old")
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """The state-bounded streaming dedup variant for 100 TB streams:
+    dropDuplicatesWithinWatermark drops re-arrivals inside the watermark
+    window while the state store evicts keys older than the watermark —
+    duplicates in this bounded replay are all inside the window, so the
+    output matches exact DISTINCT."""
+    import pyspark.sql.functions as F
+
+    indir = str(tmp_path / "in")
+    rows = spark.range(300).select(
+        (F.col("id") % 60).alias("key"),  # every key repeats 5x
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+    )
+    rows.repartition(3).write.parquet(indir)
+    stream = (
+        spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+        .withWatermark("ts", "10 minutes")
+    )
+    name = "dedup_wm_sink"
+    q = (
+        stream.dropDuplicatesWithinWatermark(["key"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["key"] for r in spark.table(name).select("key").collect())
+    assert got == list(range(60))
