@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BinaryType, DoubleType, StringType
+from pyspark.sql.types import BinaryType, DoubleType, IntegerType, StringType
 
 from ..core.hll import HLL
 
@@ -60,6 +60,84 @@ def hll_fold_udf(sketches: pd.Series, log2m: pd.Series) -> pd.Series:
             for b, k in zip(sketches, log2m)
         ]
     )
+
+
+_ALG_NAMES = {1: "EMPTY", 2: "EXPLICIT", 3: "SPARSE", 4: "FULL"}
+
+
+@pandas_udf(IntegerType())
+def hll_schema_version_udf(sketches: pd.Series) -> pd.Series:
+    """postgresql-hll's hll_schema_version: upper nibble of byte 0."""
+    return sketches.map(lambda b: bytes(b)[0] >> 4).astype("int32")
+
+
+@pandas_udf(IntegerType())
+def hll_log2m_udf(sketches: pd.Series) -> pd.Series:
+    """postgresql-hll's hll_log2m: lower 5 bits of byte 1 — header-only
+    introspection, no body decode."""
+    return sketches.map(lambda b: bytes(b)[1] & 0x1F).astype("int32")
+
+
+@pandas_udf(IntegerType())
+def hll_regwidth_udf(sketches: pd.Series) -> pd.Series:
+    """postgresql-hll's hll_regwidth: top 3 bits of byte 1, plus 1."""
+    return sketches.map(lambda b: (bytes(b)[1] >> 5) + 1).astype("int32")
+
+
+@pandas_udf(StringType())
+def hll_type_udf(sketches: pd.Series) -> pd.Series:
+    """Storage format of each blob: EMPTY | EXPLICIT | SPARSE | FULL
+    (the spec's algorithm nibble)."""
+    return sketches.map(
+        lambda b: _ALG_NAMES.get(bytes(b)[0] & 0x0F, "UNDEFINED")
+    )
+
+
+@pandas_udf(DoubleType())
+def hll_error_bound_udf(sketches: pd.Series) -> pd.Series:
+    """Relative error bound 1.04/sqrt(2^log2m) of each sketch
+    (src/hll.js cardinality_error; header-only)."""
+    from ..config import HLLConfig
+
+    return sketches.map(
+        lambda b: HLLConfig(
+            bytes(b)[1] & 0x1F, (bytes(b)[1] >> 5) + 1
+        ).relative_error
+    )
+
+
+@pandas_udf(DoubleType())
+def hll_intersection_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """|A ∩ B| estimate by inclusion-exclusion (README.markdown:62-69 —
+    error proportional to the UNION's cardinality)."""
+    from ..core.hll import intersection_cardinality
+
+    return pd.Series(
+        [
+            intersection_cardinality(
+                HLL.from_bytes(bytes(x)), HLL.from_bytes(bytes(y))
+            )
+            for x, y in zip(a, b)
+        ]
+    )
+
+
+@pandas_udf(DoubleType())
+def hll_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Jaccard similarity estimate |A∩B|/|A∪B| from two sketches —
+    the sketch-level mirror of the document-level dedup scorers."""
+
+    def jac(x, y):
+        sa, sb = HLL.from_bytes(bytes(x)), HLL.from_bytes(bytes(y))
+        nu = sa.clone().union(sb).algorithm_cardinality()
+        if nu <= 0:
+            return 0.0
+        ni = (
+            sa.algorithm_cardinality() + sb.algorithm_cardinality() - nu
+        )
+        return max(0.0, ni) / nu
+
+    return pd.Series([jac(x, y) for x, y in zip(a, b)])
 
 
 @pandas_udf(BinaryType())
@@ -117,3 +195,10 @@ def register_sql_functions(spark) -> None:
     spark.udf.register("hll_fold", hll_fold_udf)
     spark.udf.register("hll_union_agg", hll_union_agg_udf)
     spark.udf.register("hll_ndv_agg", hll_ndv_agg_udf)
+    spark.udf.register("hll_schema_version", hll_schema_version_udf)
+    spark.udf.register("hll_log2m", hll_log2m_udf)
+    spark.udf.register("hll_regwidth", hll_regwidth_udf)
+    spark.udf.register("hll_type", hll_type_udf)
+    spark.udf.register("hll_error_bound", hll_error_bound_udf)
+    spark.udf.register("hll_intersection", hll_intersection_udf)
+    spark.udf.register("hll_jaccard", hll_jaccard_udf)

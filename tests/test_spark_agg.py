@@ -423,3 +423,47 @@ def test_hll_ndv_multi_one_scan_bit_identical(spark, documents, tmp_path):
     }
     only_even = with_nulls.filter("maybe IS NOT NULL")
     assert m["maybe"] == hll_ndv(only_even, "maybe", log2m=12).first()["ndv"]
+
+
+def test_introspection_and_set_algebra_udfs(spark, events):
+    """postgresql-hll introspection parity (hll_schema_version / hll_log2m
+    / hll_regwidth / hll_type / hll_error_bound — header-only reads) and
+    the pairwise set-algebra estimators (intersection via
+    inclusion-exclusion, jaccard), SQL-registered."""
+    import math
+
+    from js_hll_spark.spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    a = hll_sketch(
+        events.filter("event_id % 3 != 0"), "user_id", log2m=12
+    ).select(F.col("sketch").alias("a"))
+    b = hll_sketch(
+        events.filter("event_id % 3 != 1"), "user_id", log2m=12
+    ).select(F.col("sketch").alias("b"))
+    a.crossJoin(b).createOrReplaceTempView("__pair")
+    row = spark.sql(
+        """SELECT hll_schema_version(a) AS v, hll_log2m(a) AS l,
+                  hll_regwidth(a) AS w, hll_type(a) AS t,
+                  hll_error_bound(a) AS e,
+                  hll_intersection(a, b) AS inter,
+                  hll_jaccard(a, b) AS jac,
+                  hll_cardinality(a) AS na, hll_cardinality(b) AS nb,
+                  hll_cardinality(hll_union_pair(a, b)) AS nu
+           FROM __pair"""
+    ).first()
+    assert row["v"] == 1 and row["l"] == 12 and row["w"] == 5
+    assert row["t"] in ("SPARSE", "FULL")
+    assert abs(row["e"] - 1.04 / math.sqrt(2**12)) < 1e-12
+    # inclusion-exclusion identity holds exactly on the estimates
+    assert abs(row["inter"] - (row["na"] + row["nb"] - row["nu"])) < 1e-9
+    assert abs(row["jac"] - max(0.0, row["inter"]) / row["nu"]) < 1e-9
+    # both filtered halves overlap in users seen in both thirds: the
+    # estimates must land near the exact overlap
+    exact = (
+        events.filter("event_id % 3 != 0")
+        .select("user_id")
+        .intersect(events.filter("event_id % 3 != 1").select("user_id"))
+        .count()
+    )
+    assert abs(row["inter"] - exact) / max(exact, 1) < 0.15
