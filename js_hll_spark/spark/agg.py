@@ -235,9 +235,12 @@ def hll_sketch(
     """Sketch ``value_col`` per group. Returns one row per group with a
     spec-encoded ``sketch`` column, an ``ndv`` estimate and ``rows_seen``.
 
-    ``hash_method``: 'xxhash64' (JVM, default) or 'murmur3' (AK
+    ``hash_method``: 'xxhash64' (JVM, default), 'murmur3' (AK
     convention, numpy-vectorized in the worker; only valid for integral
-    value columns).
+    value columns), or 'raw' — ``value_col`` already holds 64-bit hashed
+    values and is sketched as-is (the reference's addRaw contract,
+    src/hll.js:262-268, at DataFrame level; for interop with
+    AK-ecosystem producers that hash upstream).
 
     ``engine``: 'sql' computes registers inside Catalyst (hll_sketch_sql
     — fastest, default for xxhash64); 'python' uses the mapInPandas
@@ -255,10 +258,26 @@ def hll_sketch(
     keys = list(by)
 
     if engine == "auto":
-        engine = "sql" if hash_method == "xxhash64" else "python"
+        engine = "sql" if hash_method in ("xxhash64", "raw") else "python"
     if engine == "sql":
+        if hash_method == "raw":
+            # reference addRaw parity at DataFrame level: value_col
+            # already holds 64-bit hashes (e.g. from an AK-ecosystem
+            # producer); sketch them directly, no re-hash
+            return hll_sketch_sql(
+                df.filter(F.col(value_col).isNotNull()).select(
+                    *keys, F.col(value_col).cast("long").alias(value_col)
+                ),
+                value_col,
+                by,
+                log2m=log2m,
+                regwidth=regwidth,
+                estimate=estimate,
+                keep_sketch=keep_sketch,
+                _prehashed=True,
+            )
         if hash_method != "xxhash64":
-            raise ValueError("engine='sql' supports only xxhash64")
+            raise ValueError("engine='sql' supports only xxhash64 or raw")
         return hll_sketch_sql(
             df,
             value_col,
@@ -285,6 +304,10 @@ def hll_sketch(
         if dtype in ("tinyint", "smallint", "int", "bigint"):
             col = col.cast("long")
         hashed = df.select(*keys, col.alias(_HASH_COL))
+    elif hash_method == "raw":
+        hashed = df.select(
+            *keys, F.col(value_col).cast("long").alias(_HASH_COL)
+        )
     else:
         hashed = df.select(*keys, _hash_column(value_col, hash_method).alias(_HASH_COL))
 

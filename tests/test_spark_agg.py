@@ -467,3 +467,28 @@ def test_introspection_and_set_algebra_udfs(spark, events):
         .count()
     )
     assert abs(row["inter"] - exact) / max(exact, 1) < 0.15
+
+
+def test_raw_hash_method_addraw_parity(spark, events):
+    """hash_method='raw' is the reference addRaw contract at DataFrame
+    level: a column of already-64-bit-hashed values sketches bit-identically
+    (both engines) to letting the library hash the originals, when the
+    raw column was produced by the same hash."""
+    pre = events.select(
+        "event_type", F.xxhash64("user_id").alias("h")
+    )
+    for engine in ("sql", "python"):
+        via_raw = {
+            r["event_type"]: (bytes(r["sketch"]), r["ndv"])
+            for r in hll_sketch(
+                pre, "h", by=["event_type"], log2m=12,
+                hash_method="raw", engine=engine,
+            ).collect()
+        }
+        direct = {
+            r["event_type"]: (bytes(r["sketch"]), r["ndv"])
+            for r in hll_sketch(
+                events, "user_id", by=["event_type"], log2m=12, engine="sql"
+            ).collect()
+        }
+        assert via_raw == direct, engine
