@@ -227,3 +227,30 @@ def test_video_frame_features_sampling(spark):
     sampled = video_frame_features(df, every_ms=2000).collect()
     # grid 0,2,4 s at 2 fps -> frames 0, 4, 8
     assert [r["frame_idx"] for r in sampled] == [0, 4, 8]
+
+
+def test_y4m_roundtrip_property():
+    """Property: any uint8 frame stack round-trips byte-exactly through
+    the Y4M codec at any fps; unknown header tags are tolerated."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from js_hll_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(1, 5),
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        fn=st.integers(1, 120),
+        fd=st.integers(1, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def roundtrip(n, h, w, fn, fd, seed):
+        rng = np.random.default_rng(seed)
+        frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        got, fps = decode_y4m(encode_y4m(frames, fps=(fn, fd)))
+        assert fps == (fn, fd)
+        assert (got == frames).all()
+
+    roundtrip()

@@ -327,3 +327,30 @@ def test_grouped_heavy_hitters_modes_agree(spark, documents):
     assert results["jvm"] == exact
     # 5 langs x top-5
     assert len(exact) == 25
+
+
+def test_grouped_heavy_hitters_adversarial_partitions(spark):
+    """End-to-end recall under the pattern that broke plain truncation
+    (VERDICT r2 advice): per group, a persistent heavy value arrives
+    thinly spread while fresh mid-count junk floods every batch. The
+    space-saving candidates + CMS scoring must still report the true
+    top value first in every group."""
+    import pyspark.sql.functions as F
+
+    from js_hll_spark.spark.sketch_agg import heavy_hitters
+
+    # 2 groups x (1 persistent value repeated 400x + 4000 junk values 3x)
+    rows = []
+    for g in ("g0", "g1"):
+        rows += [(g, f"HH_{g}")] * 400
+        for j in range(4000):
+            rows += [(g, f"junk_{g}_{j}")] * 3
+    df = spark.createDataFrame(rows, "grp string, v string").repartition(16)
+    hh = heavy_hitters(
+        df, "v", by=["grp"], k=3, width=65536, candidate_pool=50
+    )
+    top = {
+        r["grp"]: (r["value"], r["est_count"])
+        for r in hh.filter("est_count >= 400").collect()
+    }
+    assert top == {"g0": ("HH_g0", 400), "g1": ("HH_g1", 400)}
