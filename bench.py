@@ -96,6 +96,7 @@ def main() -> None:
         "minhash_lsh",
         "ngram_jaccard",
         "dedup_pipeline",
+        "dedup_pipeline_fast",
         "ann_bruteforce",
         "simhash_signatures",
         "simhash_fast",

@@ -644,6 +644,20 @@ def q_dedup_pipeline(spark, sf_dir):
     )
 
 
+def q_dedup_pipeline_fast(spark, sf_dir):
+    """The 100 TB near-dup pipeline end to end: xxhash64 MinHash-LSH
+    candidates (pure codegen, no md5) -> candidates-first exact Jaccard
+    verify with the hot-shingle df cap -> pairs >= 0.5. Rows-only
+    (xxhash64 signatures are not DuckDB-reproducible); the md5 twin
+    dedup_pipeline above is the oracle, and candidate-set quality of the
+    fast tier vs the md5 tier is gated in pytest."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates_fast(docs, k=8, bands=4, shingle_n=3)
+    return dedup.ngram_jaccard(
+        docs, pairs=cand, shingle_n=3, threshold=0.5, max_shingle_df=100
+    )
+
+
 SQL_DEDUP_PIPELINE = f"""
 WITH toks AS (
   SELECT doc_id, {_SQL_TOKS} AS t FROM documents
@@ -1598,6 +1612,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_fast": q_minhash_lsh_fast,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_pipeline": q_dedup_pipeline,
+    "dedup_pipeline_fast": q_dedup_pipeline_fast,
     "simhash_signatures": q_simhash_signatures,
     "simhash_fast": q_simhash_fast,
     "ann_bruteforce": q_ann_bruteforce,

@@ -55,6 +55,22 @@ def test_minhash_fast_agrees_with_md5_variant(spark, pages):
     assert truth.join(fast, ["id_a", "id_b"], "left_semi").count() == n_truth
 
 
+def test_fast_pipeline_end_to_end_finds_exact_dups(spark, pages):
+    """The registered 100 TB path (xxhash64 LSH -> df-capped exact verify)
+    must surface every true duplicate pair at jaccard 1.0 — recall on exact
+    dups is guaranteed (identical shingle sets collide in every band, and
+    the df cap drops the same shingles from both docs)."""
+    truth = true_dup_pairs(pages)
+    cand = dedup.minhash_lsh_candidates_fast(pages, "text", "row_id", k=8, bands=4)
+    verified = dedup.ngram_jaccard(
+        pages, pairs=cand, text_col="text", id_col="row_id",
+        threshold=0.5, max_shingle_df=100,
+    )
+    hits = truth.join(verified.filter(F.col("jaccard") == 1.0),
+                      ["id_a", "id_b"], "left_semi").count()
+    assert hits == truth.count()
+
+
 def test_simhash_identical_docs_same_signature(spark, pages):
     sigs = dedup.simhash_signatures(pages, "text", "row_id")
     joined = sigs.join(pages.select(F.col("row_id").alias("doc_id"), "url"), "doc_id")
