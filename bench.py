@@ -97,6 +97,7 @@ def main() -> None:
         "ngram_jaccard",
         "dedup_pipeline",
         "dedup_pipeline_fast",
+        "dedup_clusters",
         "ann_bruteforce",
         "simhash_signatures",
         "simhash_fast",

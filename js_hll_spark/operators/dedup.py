@@ -311,6 +311,79 @@ def ngram_jaccard(
     return out
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    node_col: str | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into connected components — the step
+    between pairwise dedup output and "keep one document per group".
+    Returns (doc_id, cluster_id) where cluster_id is the smallest doc id
+    in the component (so ``doc_id == cluster_id`` marks the canonical
+    representative).
+
+    ``nodes`` optionally supplies the full universe of ids (docs in no
+    pair become singleton clusters of themselves); without it only ids
+    appearing in ``pairs`` are labeled.
+
+    Algorithm: min-label propagation. Each iteration every node takes the
+    smallest label among itself and its direct neighbors — one equi-join
+    of the (static, cached) edge list against the label table plus a
+    map-side-combined min-aggregate, all on hash-partitioned keys, no
+    driver collect. Converges in O(graph diameter) rounds; near-dup
+    components are star/clique-shaped (diameter ≲ 3), so 3–5 rounds in
+    practice, bounded by ``max_iter``. Lineage is truncated per round via
+    localCheckpoint, which keeps the plan constant-size instead of
+    doubling per iteration. (For adversarially long path graphs the
+    large-star/small-star scheme converges in O(log n) rounds; the web
+    near-dup graph never needs it.)
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .localCheckpoint()
+    )
+    if nodes is not None:
+        nc = node_col or nodes.columns[0]
+        labels = nodes.select(F.col(nc).alias("id"), F.col(nc).alias("lbl"))
+    else:
+        labels = (
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .select("id", F.col("id").alias("lbl"))
+        )
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), "lbl"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+            .select(F.col("src").alias("id"), "nbr_lbl")
+        )
+        new = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+        ).localCheckpoint()
+        changed = (
+            new.select("id", F.col("lbl").alias("new_lbl"))
+            .join(labels, "id")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

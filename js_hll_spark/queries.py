@@ -658,8 +658,25 @@ def q_dedup_pipeline_fast(spark, sf_dir):
     )
 
 
-SQL_DEDUP_PIPELINE = f"""
-WITH toks AS (
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS, ORACLED: the md5-pipeline verified pairs feed
+    min-label-propagation connected components (every doc labeled with
+    the smallest doc_id in its component; singletons label themselves).
+    The DuckDB oracle recomputes the same pairs and closes them with a
+    recursive CTE — the full pairs -> groups -> canonical-doc dedup
+    semantics hash-checked end to end."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(docs, k=8, bands=4, shingle_n=3)
+    pairs = dedup.ngram_jaccard(docs, pairs=cand, shingle_n=3, threshold=0.5)
+    return dedup.connected_components(
+        pairs, nodes=_t(spark, sf_dir, "documents").select("doc_id")
+    )
+
+
+# shared CTE block: the md5 MinHash-LSH -> exact-Jaccard verified pairs
+# at threshold 0.5 (used by both the pipeline oracle and the clusters
+# oracle built on top of it)
+_SQL_DEDUP_PAIR_CTES = f"""toks AS (
   SELECT doc_id, {_SQL_TOKS} AS t FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -689,14 +706,34 @@ WITH toks AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
   FROM shx a JOIN shx b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+), vpairs AS (
+  SELECT i.id_a, i.id_b,
+         round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+  FROM inter i
+  JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+)"""
+
+SQL_DEDUP_PIPELINE = f"""
+WITH {_SQL_DEDUP_PAIR_CTES}
+SELECT id_a, id_b, jaccard FROM vpairs
+"""
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_DEDUP_PAIR_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM vpairs
+  UNION ALL
+  SELECT id_b, id_a FROM vpairs
+),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.lbl
 )
-SELECT i.id_a, i.id_b,
-       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-FROM inter i
-JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
-JOIN sizes sa ON sa.doc_id = i.id_a
-JOIN sizes sb ON sb.doc_id = i.id_b
-WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
 """
 
 
@@ -1613,6 +1650,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_pipeline": q_dedup_pipeline,
     "dedup_pipeline_fast": q_dedup_pipeline_fast,
+    "dedup_clusters": q_dedup_clusters,
     "simhash_signatures": q_simhash_signatures,
     "simhash_fast": q_simhash_fast,
     "ann_bruteforce": q_ann_bruteforce,
@@ -1671,6 +1709,7 @@ ORACLES: dict[str, str] = {
     "minhash_lsh": SQL_MINHASH_LSH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_pipeline": SQL_DEDUP_PIPELINE,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "ann_bruteforce": SQL_ANN,
     "embedding_near_dups_exact": SQL_EMB_NEAR_DUPS,
     "sink_roundtrip": SQL_SINK,

@@ -71,6 +71,42 @@ def test_fast_pipeline_end_to_end_finds_exact_dups(spark, pages):
     assert hits == truth.count()
 
 
+def test_connected_components_chain_and_singleton(spark):
+    """A 4-node chain collapses to one component labeled by its min id
+    (needs label propagation across diameter 3, not just direct
+    neighbors); an isolated node keeps itself as the label."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], ["doc_id"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_clusters_exact_dups(spark, pages):
+    """Docs sharing a url (identical text) always land in one cluster:
+    the LSH+verify pairs connect them, and components close the rest."""
+    cand = dedup.minhash_lsh_candidates_fast(pages, "text", "row_id", k=8, bands=4)
+    pairs = dedup.ngram_jaccard(
+        pages, pairs=cand, text_col="text", id_col="row_id", threshold=0.99
+    )
+    cc = dedup.connected_components(pairs, nodes=pages.select("row_id"))
+    split_urls = (
+        pages.select(F.col("row_id").alias("doc_id"), "url")
+        .join(cc, "doc_id")
+        .groupBy("url")
+        .agg(F.countDistinct("cluster_id").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert split_urls == 0
+    # every component label is a member of the component
+    assert cc.filter(F.col("cluster_id") > F.col("doc_id")).count() == 0
+
+
 def test_simhash_identical_docs_same_signature(spark, pages):
     sigs = dedup.simhash_signatures(pages, "text", "row_id")
     joined = sigs.join(pages.select(F.col("row_id").alias("doc_id"), "url"), "doc_id")
