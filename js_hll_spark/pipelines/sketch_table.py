@@ -1,0 +1,93 @@
+"""Persistent sketch tables — "aggregate once, query many".
+
+The production pattern the reference's ecosystem is built around
+(postgresql-hll rollup tables; js-hll exists to render them, see
+/root/reference/README.md:9-14): raw events are reduced once to one
+HLL sketch per (partition, group) and stored; every later NDV question
+is answered by merging a handful of KB-sized sketches instead of
+re-scanning TBs of raw data. Unions are lossless (the estimate of a
+union of sketches equals the estimate of sketching the union of the
+raw data), so any coarser grain — other groupings, longer time ranges,
+global — is derivable from the stored table alone.
+
+Scale shape: the stored table is Hive-partitioned on the partition
+column, so a time/shard-ranged query prunes to the matching sketch
+files at the scan (partition pruning, visible as PartitionFilters in
+the plan); incremental loads rewrite only the partitions present in
+the new batch (dynamic partition overwrite — an idempotent upsert, no
+read-modify-write of the whole table).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from ..spark.agg import hll_rollup, hll_sketch
+
+
+def build_sketch_table(
+    df: DataFrame,
+    value_col: str,
+    path: str,
+    *,
+    partition_col: str,
+    by: Sequence[str] = (),
+    mode: str = "overwrite",
+    **sketch_kw,
+) -> None:
+    """Reduce ``df`` to one sketch per (partition_col, *by) and write a
+    Hive-partitioned parquet sketch table at ``path``. ``sketch_kw``
+    passes through to :func:`hll_sketch` (log2m, regwidth, engine, ...)."""
+    sk = hll_sketch(
+        df, value_col, by=[partition_col, *by], estimate=False, **sketch_kw
+    )
+    sk.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def update_sketch_table(
+    df: DataFrame,
+    value_col: str,
+    path: str,
+    *,
+    partition_col: str,
+    by: Sequence[str] = (),
+    **sketch_kw,
+) -> None:
+    """Incremental load: sketch the new batch and overwrite ONLY the
+    partitions it contains (dynamic partition overwrite). Re-running the
+    same batch is idempotent; partitions not present in ``df`` are
+    untouched. The batch must carry whole partitions — sketch rows
+    replace, not merge, because a stored sketch cannot be un-unioned."""
+    sk = hll_sketch(
+        df, value_col, by=[partition_col, *by], estimate=False, **sketch_kw
+    )
+    (
+        sk.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def read_sketch_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def query_sketch_table(
+    spark: SparkSession,
+    path: str,
+    by: Sequence[str] = (),
+    *,
+    where: Column | None = None,
+    estimate: bool = True,
+) -> DataFrame:
+    """NDV at any grain from the stored sketches alone. ``where`` filters
+    BEFORE the merge — a predicate on the partition column prunes whole
+    directories at the scan, so a day-range query over years of data
+    reads only the matching sketch files."""
+    sk = read_sketch_table(spark, path)
+    if where is not None:
+        sk = sk.filter(where)
+    return hll_rollup(sk, by, estimate=estimate)

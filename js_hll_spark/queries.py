@@ -1347,6 +1347,54 @@ def q_hll_sketch_rollup_estimate(spark, sf_dir):
     return hll_rollup(fine, ["lang"]).select("lang", "ndv")
 
 
+def q_sketch_table_query(spark, sf_dir):
+    """Persistent sketch table end to end ("aggregate once, query
+    many" — the postgresql-hll rollup-table pattern the reference
+    renders, /root/reference/README.md:9-14), ORACLED: build the table
+    from the first 17 sources, incrementally load the last 3 via dynamic
+    partition overwrite, then answer NDV-by-lang over a partition-pruned
+    source subset purely from the stored sketches. Explicit-mode
+    sketches at log2m=16 keep every union exact (same argument as
+    q_hll_sketch_rollup), so the answer hash-matches count(DISTINCT
+    text) under the same filter."""
+    import tempfile
+
+    from .pipelines import sketch_table
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents")
+    late = ["src17", "src18", "src19"]
+    path = tempfile.mkdtemp(prefix="sketch_table_")
+    sketch_table.build_sketch_table(
+        docs.filter(~F.col("source").isin(late)),
+        "text",
+        path,
+        partition_col="source",
+        by=["lang"],
+        log2m=16,
+        engine="python",
+    )
+    sketch_table.update_sketch_table(
+        docs.filter(F.col("source").isin(late)),
+        "text",
+        path,
+        partition_col="source",
+        by=["lang"],
+        log2m=16,
+        engine="python",
+    )
+    out = sketch_table.query_sketch_table(
+        spark, path, ["lang"], where=F.col("source") != "src0"
+    )
+    return out.select("lang", F.col("ndv").cast("long").alias("ndv"))
+
+
+SQL_SKETCH_TABLE = """
+SELECT lang, CAST(count(DISTINCT text) AS BIGINT) AS ndv
+FROM documents WHERE source <> 'src0' GROUP BY lang
+"""
+
+
 def q_checkpoint_pipeline(spark, sf_dir):
     """Checkpoint-resumable staged pipeline, driver-visible (north rule:
     'resumable from checkpoint with per-partition lineage + metrics'):
@@ -1660,6 +1708,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     "sink_roundtrip": q_sink_roundtrip,
     "checkpoint_pipeline": q_checkpoint_pipeline,
+    "sketch_table_query": q_sketch_table_query,
     "heavy_hitters_exact": q_heavy_hitters_exact,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
@@ -1714,6 +1763,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dups_exact": SQL_EMB_NEAR_DUPS,
     "sink_roundtrip": SQL_SINK,
     "checkpoint_pipeline": SQL_CHECKPOINT,
+    "sketch_table_query": SQL_SKETCH_TABLE,
     "heavy_hitters_exact": SQL_HEAVY_HITTERS,
     "semijoin_membership": SQL_SEMIJOIN,
     "user_overlap_exact": SQL_USER_OVERLAP,

@@ -1,0 +1,113 @@
+"""Persistent sketch table: build / incremental update / pruned query.
+
+The "aggregate once, query many" pattern (postgresql-hll rollup tables;
+/root/reference/README.md:9-14): correctness here means the stored
+sketches answer any coarser-grain NDV question exactly as a direct
+sketch of the raw data would, incremental loads are idempotent and
+partition-scoped, and a partition predicate prunes the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from js_hll_spark.pipelines import sketch_table
+from js_hll_spark.spark.agg import hll_ndv
+
+
+def _build(documents, path, **kw):
+    sketch_table.build_sketch_table(
+        documents, "text", path, partition_col="source", by=["lang"], log2m=13, **kw
+    )
+
+
+def test_query_matches_direct_sketch(spark, documents, tmp_path):
+    path = str(tmp_path / "sk")
+    _build(documents, path)
+    via_table = {
+        (r["lang"]): r["ndv"]
+        for r in sketch_table.query_sketch_table(spark, path, ["lang"]).collect()
+    }
+    direct = {
+        r["lang"]: r["ndv"]
+        for r in hll_ndv(documents, "text", by=["lang"], log2m=13).collect()
+    }
+    assert via_table == direct  # unions are lossless: same registers, same estimate
+
+
+def test_incremental_update_equals_full_rebuild(spark, documents, tmp_path):
+    late = ["src17", "src18", "src19"]
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    _build(documents.filter(~F.col("source").isin(late)), inc)
+    sketch_table.update_sketch_table(
+        documents.filter(F.col("source").isin(late)),
+        "text",
+        inc,
+        partition_col="source",
+        by=["lang"],
+        log2m=13,
+    )
+    _build(documents, full)
+    q = lambda p: sorted(
+        (r["lang"], r["ndv"])
+        for r in sketch_table.query_sketch_table(spark, p, ["lang"]).collect()
+    )
+    assert q(inc) == q(full)
+    # idempotent: re-loading the same batch changes nothing
+    sketch_table.update_sketch_table(
+        documents.filter(F.col("source").isin(late)),
+        "text",
+        inc,
+        partition_col="source",
+        by=["lang"],
+        log2m=13,
+    )
+    assert q(inc) == q(full)
+
+
+def test_update_touches_only_its_partitions(spark, documents, tmp_path):
+    path = str(tmp_path / "sk")
+    _build(documents, path)
+    before = {
+        r["source"]: r["mtime"]
+        for r in spark.read.parquet(path)
+        .select("source", F.input_file_name().alias("f"))
+        .distinct()
+        .withColumn("mtime", F.lit(None))
+        .collect()
+    }
+    # overwrite one partition with a modified batch: only src0 changes
+    sketch_table.update_sketch_table(
+        documents.filter(F.col("source") == "src0").limit(5),
+        "text",
+        path,
+        partition_col="source",
+        by=["lang"],
+        log2m=13,
+    )
+    after = spark.read.parquet(path)
+    assert after.select("source").distinct().count() == len(before)
+    # src0 now reflects the 5-row batch (fewer distinct texts than before)
+    src0 = sketch_table.query_sketch_table(
+        spark, path, [], where=F.col("source") == "src0"
+    ).collect()[0]["ndv"]
+    assert round(src0) <= 5
+
+
+def test_partition_predicate_prunes_scan(spark, documents, tmp_path):
+    path = str(tmp_path / "sk")
+    _build(documents, path)
+    sk = sketch_table.read_sketch_table(spark, path).filter(
+        F.col("source") == "src3"
+    )
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "source" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_global_rollup_from_table(spark, documents, tmp_path):
+    path = str(tmp_path / "sk")
+    _build(documents, path)
+    got = sketch_table.query_sketch_table(spark, path, []).collect()[0]["ndv"]
+    want = hll_ndv(documents, "text", log2m=13).collect()[0]["ndv"]
+    assert got == want
