@@ -86,6 +86,41 @@ def test_connected_components_chain_and_singleton(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
 
 
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 60, 40), (2, 200, 150), (3, 50, 120)])
+def test_connected_components_matches_union_find(spark, seed, n_nodes, n_edges):
+    """Random graphs (sparse, dense, and super-critical) against a
+    pure-Python union-find oracle: every node's label must be the min id
+    of its component."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    e = rng.integers(0, n_nodes, size=(n_edges, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in e:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n_nodes)}
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in e], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], ["doc_id"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs, nodes=nodes).collect()
+    }
+    assert got == want
+
+
 def test_connected_components_clusters_exact_dups(spark, pages):
     """Docs sharing a url (identical text) always land in one cluster:
     the LSH+verify pairs connect them, and components close the rest."""
