@@ -71,6 +71,53 @@ def update_sketch_table(
     )
 
 
+def merge_into_sketch_table(
+    df: DataFrame,
+    value_col: str,
+    path: str,
+    *,
+    partition_col: str,
+    by: Sequence[str] = (),
+    **sketch_kw,
+) -> None:
+    """Merge-on-write incremental load for batches that carry PARTIAL
+    partitions (e.g. late-arriving events for an already-loaded day):
+    sketch the batch, union it with the stored sketches of only the
+    affected partitions (left-semi on the partition key — untouched
+    partitions are never read), and dynamically overwrite those
+    partitions. The read-modify-write moves KB-sized sketch rows, never
+    raw data. Unions are idempotent on registers, so re-merging the same
+    batch leaves every NDV unchanged (only ``rows_seen`` inflates — it
+    counts rows offered, not distinct)."""
+    from pyspark.errors import AnalysisException
+
+    from ..streaming.ndv import merge_sketch_tables
+
+    new = hll_sketch(
+        df, value_col, by=[partition_col, *by], estimate=False, **sketch_kw
+    )
+    spark = df.sparkSession
+    try:
+        existing = read_sketch_table(spark, path).select(*new.columns)
+    except AnalysisException:
+        existing = None
+    if existing is not None:
+        affected = new.select(partition_col).distinct()
+        old = existing.join(affected, partition_col, "left_semi")
+        # materialize before the overwrite: merged reads lazily from the
+        # very partitions the writer replaces; localCheckpoint forces the
+        # read to finish first (bounded — sketch rows are KB-sized)
+        merged = merge_sketch_tables(old, new, [partition_col, *by]).localCheckpoint()
+    else:
+        merged = new
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
 def read_sketch_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 

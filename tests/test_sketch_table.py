@@ -94,6 +94,29 @@ def test_update_touches_only_its_partitions(spark, documents, tmp_path):
     assert round(src0) <= 5
 
 
+def test_merge_on_write_partial_batches(spark, documents, tmp_path):
+    """Three batches that each carry PART of every partition merge into
+    the same sketches a one-shot build produces (register unions are
+    order- and split-insensitive), and re-merging a batch leaves NDV
+    unchanged (idempotent on registers)."""
+    path, full = str(tmp_path / "merge"), str(tmp_path / "full")
+    batches = [documents.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for b in batches:
+        sketch_table.merge_into_sketch_table(
+            b, "text", path, partition_col="source", by=["lang"], log2m=13
+        )
+    _build(documents, full)
+    q = lambda p: sorted(
+        (r["lang"], r["ndv"])
+        for r in sketch_table.query_sketch_table(spark, p, ["lang"]).collect()
+    )
+    assert q(path) == q(full)
+    sketch_table.merge_into_sketch_table(
+        batches[0], "text", path, partition_col="source", by=["lang"], log2m=13
+    )
+    assert q(path) == q(full)
+
+
 def test_partition_predicate_prunes_scan(spark, documents, tmp_path):
     path = str(tmp_path / "sk")
     _build(documents, path)
