@@ -311,6 +311,32 @@ def ngram_jaccard(
     return out
 
 
+def simhash_verify(
+    sigs: DataFrame,
+    cand: DataFrame,
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Verification tier for SimHash candidates: exact Hamming distance
+    between the 64-bit signatures of each candidate pair, entirely in
+    codegen (``bit_count(a XOR b)``), keeping pairs within
+    ``max_hamming``. With 16-bit bands, any pair at Hamming <= 3 shares
+    a band by pigeonhole, so candidates -> verify has perfect recall at
+    that radius. Returns (id_a, id_b, hamming)."""
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("__sa"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("__sb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame | None = None,

@@ -716,6 +716,18 @@ _SQL_DEDUP_PAIR_CTES = f"""toks AS (
   WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
 )"""
 
+def q_simhash_pipeline(spark, sf_dir):
+    """SimHash near-dup pipeline end to end: numpy-vectorized 64-bit
+    signatures -> Hamming-band candidates -> exact bit_count(XOR) verify
+    at radius 3 (codegen). Rows-only (murmur3 token hashing is not
+    DuckDB-reproducible); band recall at the radius is pigeonhole-exact
+    and pinned in pytest alongside exact-dup coverage."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    sigs = dedup.simhash_signatures_fast(docs)
+    cand = dedup.simhash_candidates(sigs)
+    return dedup.simhash_verify(sigs, cand, max_hamming=3)
+
+
 SQL_DEDUP_PIPELINE = f"""
 WITH {_SQL_DEDUP_PAIR_CTES}
 SELECT id_a, id_b, jaccard FROM vpairs
@@ -1699,6 +1711,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_pipeline": q_dedup_pipeline,
     "dedup_pipeline_fast": q_dedup_pipeline_fast,
     "dedup_clusters": q_dedup_clusters,
+    "simhash_pipeline": q_simhash_pipeline,
     "simhash_signatures": q_simhash_signatures,
     "simhash_fast": q_simhash_fast,
     "ann_bruteforce": q_ann_bruteforce,

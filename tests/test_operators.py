@@ -161,6 +161,18 @@ def test_simhash_candidates_cover_exact_dups(spark, pages):
     assert truth.join(cand, ["id_a", "id_b"], "left_semi").count() == truth.count()
 
 
+def test_simhash_verify_exact_dups_at_zero(spark, pages):
+    """Candidates -> Hamming verify keeps every exact duplicate at
+    distance 0, and never emits a pair past the radius."""
+    sigs = dedup.simhash_signatures_fast(pages, "text", "row_id")
+    cand = dedup.simhash_candidates(sigs)
+    ver = dedup.simhash_verify(sigs, cand, max_hamming=3)
+    truth = true_dup_pairs(pages)
+    zero = ver.filter(F.col("hamming") == 0)
+    assert truth.join(zero, ["id_a", "id_b"], "left_semi").count() == truth.count()
+    assert ver.filter(F.col("hamming") > 3).count() == 0
+
+
 def test_ngram_jaccard_exact_dups_score_one(spark, pages):
     sample = pages.limit(600)
     truth = true_dup_pairs(sample)
