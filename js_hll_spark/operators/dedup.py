@@ -368,11 +368,11 @@ def connected_components(
     large-star/small-star scheme converges in O(log n) rounds; the web
     near-dup graph never needs it.)
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .localCheckpoint()
-    )
+    # materialize pairs BEFORE doubling into an edge list: the two union
+    # branches would otherwise each recompute the (possibly expensive)
+    # upstream candidate/verify pipeline
+    p = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).localCheckpoint()
+    edges = p.union(p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).localCheckpoint()
     if nodes is not None:
         nc = node_col or nodes.columns[0]
         labels = nodes.select(F.col(nc).alias("id"), F.col(nc).alias("lbl"))
