@@ -918,6 +918,35 @@ def q_hll_ndv_events_hourly(spark, sf_dir):
     return hll_ndv(events, "user_id", by=["window_start"], log2m=12)
 
 
+def q_hll_ndv_events_sliding(spark, sf_dir):
+    """Sliding-window NDV (1 h windows every 30 min), ORACLED: each event
+    lands in exactly two overlapping windows (Spark's F.window generator),
+    sketched in explicit mode at log2m=16 so per-window estimates are
+    exact set counts. The DuckDB oracle reproduces the two containing
+    windows per event arithmetically (floor to the 30-min grid and the
+    grid slot before it) and hash-matches count(DISTINCT user_id)."""
+    _ship(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        F.window("ts", "1 hour", "30 minutes").start.alias("window_start"),
+        "user_id",
+    )
+    sk = hll_sketch(
+        ev, "user_id", by=["window_start"], log2m=16, engine="python"
+    )
+    return sk.select("window_start", F.col("ndv").cast("long").alias("ndv"))
+
+
+SQL_NDV_SLIDING = """
+SELECT ws AS window_start, CAST(count(DISTINCT user_id) AS BIGINT) AS ndv
+FROM (
+  SELECT CAST(to_timestamp(floor(epoch(ts)/1800)*1800 - k*1800) AS TIMESTAMP) AS ws,
+         user_id
+  FROM events, range(0, 2) r(k)
+)
+GROUP BY ws
+"""
+
+
 def q_image_decode_sums(spark, sf_dir):
     """Multimodal decode, oracled end-to-end through REAL bytes: a
     deterministic 6x8 RGB pattern per doc_id is encoded as an actual
@@ -1738,6 +1767,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_ndv_by_lang": q_hll_ndv_by_lang,
     "hll_ndv_murmur3": q_hll_ndv_murmur3,
     "hll_ndv_events_hourly": q_hll_ndv_events_hourly,
+    "hll_ndv_events_sliding": q_hll_ndv_events_sliding,
     "hll_sketch_rollup": q_hll_sketch_rollup,
     "hll_sketch_rollup_estimate": q_hll_sketch_rollup_estimate,
     "hll_union_agg_sql": q_hll_union_agg_sql,
@@ -1777,6 +1807,7 @@ ORACLES: dict[str, str] = {
     "sink_roundtrip": SQL_SINK,
     "checkpoint_pipeline": SQL_CHECKPOINT,
     "sketch_table_query": SQL_SKETCH_TABLE,
+    "hll_ndv_events_sliding": SQL_NDV_SLIDING,
     "heavy_hitters_exact": SQL_HEAVY_HITTERS,
     "semijoin_membership": SQL_SEMIJOIN,
     "user_overlap_exact": SQL_USER_OVERLAP,
