@@ -64,6 +64,11 @@ def update_registers(regs: np.ndarray, hashes: np.ndarray, config: HLLConfig) ->
     np.maximum.at(regs, idx, val)
 
 
+# 2^-r for every possible register value (rw=8 -> max 255): computed once,
+# sliced per call — the same exp2 float64 values as a per-call arange
+_NEG_POW2 = np.exp2(-np.arange(256, dtype=np.float64))
+
+
 def estimate_from_registers(regs: np.ndarray, config: HLLConfig) -> float:
     """Flajolet estimator with small/large-range corrections
     (src/hll.js:276-299). Returns NaN when the large-range log argument is
@@ -75,8 +80,7 @@ def estimate_from_registers(regs: np.ndarray, config: HLLConfig) -> float:
     zeroes = int(counts[0])
     # sum(2**-M[j]) grouped by register value: each term count*2**-r is an
     # exact float64 product, so this matches index-order summation to <1ulp.
-    powers = np.exp2(-np.arange(len(counts), dtype=np.float64))
-    indicator = float(np.dot(counts, powers))
+    indicator = float(np.dot(counts, _NEG_POW2[: len(counts)]))
 
     estimator = config.alpha_m_squared / indicator
     if zeroes != 0 and estimator < config.small_estimator_cutoff:

@@ -59,10 +59,21 @@ const tu = process.hrtime.bigint();
 for (const sk of parts) acc.union(sk);
 const du = Number(process.hrtime.bigint() - tu) / 1e9;
 
+// estimate throughput: repeated cardinality() on the accumulated sketch
+// (the reference stress harness' third leg, test/stress-test.html:76-88)
+const NE = 20000;
+let sink = 0;
+const te = process.hrtime.bigint();
+for (let i = 0; i < NE; i++) sink += acc.algorithmCardinality();
+const de = Number(process.hrtime.bigint() - te) / 1e9;
+
 process.stdout.write(JSON.stringify({
   reference: "aggregateknowledge/js-hll @ /root/reference (unmodified, vm)",
   node: process.version,
   insert: mid,
   union: { n_sketches: 1000, sec: +du.toFixed(4),
            unions_per_sec: Math.round(1000 / du) },
+  estimate: { n: NE, sec: +de.toFixed(4),
+              estimates_per_sec: Math.round(NE / de),
+              sample: sink / NE },
 }) + "\n");
