@@ -490,3 +490,20 @@ def intersection_cardinality(a: HLL, b: HLL) -> float:
         + b.algorithm_cardinality()
         - u.algorithm_cardinality()
     )
+
+
+def intersection_error(a: HLL, b: HLL) -> float:
+    """Absolute 1-sigma error of the inclusion-exclusion intersection
+    estimate: the three estimates each carry sigma ~= 1.04/sqrt(m) x
+    their own cardinality, and the sum's sigma adds in quadrature —
+    which makes the reference's caveat ("error proportional to the
+    union's cardinality", README.markdown:62-69) quantitative: a tiny
+    intersection of two large sets is dominated by the union's absolute
+    error. Exact (0.0) while both operands are still EXPLICIT."""
+    if a._explicit is not None and b._explicit is not None:
+        return 0.0
+    rel = max(a.cardinality_error(), b.cardinality_error())
+    na = a.algorithm_cardinality()
+    nb = b.algorithm_cardinality()
+    nu = a.clone().union(b).algorithm_cardinality()
+    return rel * math.sqrt(na * na + nb * nb + nu * nu)

@@ -123,6 +123,23 @@ def hll_intersection_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(DoubleType())
+def hll_intersection_error_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Absolute 1-sigma error of the inclusion-exclusion intersection —
+    the reference's 'error proportional to the union' caveat
+    (README.markdown:62-69) as a queryable column, so an operator can
+    gate on est/err instead of trusting a tiny intersection of two huge
+    sets."""
+    from ..core.hll import intersection_error
+
+    return pd.Series(
+        [
+            intersection_error(HLL.from_bytes(bytes(x)), HLL.from_bytes(bytes(y)))
+            for x, y in zip(a, b)
+        ]
+    )
+
+
+@pandas_udf(DoubleType())
 def hll_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Jaccard similarity estimate |A∩B|/|A∪B| from two sketches —
     the sketch-level mirror of the document-level dedup scorers."""
@@ -201,4 +218,5 @@ def register_sql_functions(spark) -> None:
     spark.udf.register("hll_type", hll_type_udf)
     spark.udf.register("hll_error_bound", hll_error_bound_udf)
     spark.udf.register("hll_intersection", hll_intersection_udf)
+    spark.udf.register("hll_intersection_error", hll_intersection_error_udf)
     spark.udf.register("hll_jaccard", hll_jaccard_udf)

@@ -447,6 +447,7 @@ def test_introspection_and_set_algebra_udfs(spark, events):
                   hll_regwidth(a) AS w, hll_type(a) AS t,
                   hll_error_bound(a) AS e,
                   hll_intersection(a, b) AS inter,
+                  hll_intersection_error(a, b) AS ierr,
                   hll_jaccard(a, b) AS jac,
                   hll_cardinality(a) AS na, hll_cardinality(b) AS nb,
                   hll_cardinality(hll_union_pair(a, b)) AS nu
@@ -467,6 +468,10 @@ def test_introspection_and_set_algebra_udfs(spark, events):
         .count()
     )
     assert abs(row["inter"] - exact) / max(exact, 1) < 0.15
+    # the quadrature error bound covers the observed deviation and is
+    # dominated by the union term (reference caveat, README.markdown:62-69)
+    assert row["ierr"] >= row["e"] * row["nu"]
+    assert abs(row["inter"] - exact) < 3 * row["ierr"]
 
 
 def test_raw_hash_method_addraw_parity(spark, events):
