@@ -348,16 +348,17 @@ def q_quality_score(spark, sf_dir):
 _SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
 _SQL_STOPLIST = "['" + "','".join(text.STOPWORDS) + "']"
 
-SQL_QUALITY = f"""
-SELECT doc_id,
-  round(
+_SQL_QUALITY_EXPR = f"""round(
     0.5 * least(length(text) / 400.0, 1.0)
     + 0.5 * (len(list_filter({_SQL_TOKS},
                   t -> list_contains({_SQL_STOPLIST}, t)))
              / greatest(len({_SQL_TOKS}), 1))
     - ((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
        / greatest(length(text), 1)),
-  6) AS quality
+  6)"""
+
+SQL_QUALITY = f"""
+SELECT doc_id, {_SQL_QUALITY_EXPR} AS quality
 FROM documents
 """
 
@@ -396,6 +397,56 @@ _LANG_CASE = "CASE " + " ".join(
 
 SQL_LANG_ID = f"""
 SELECT doc_id, {_LANG_CASE} AS lang_pred FROM documents
+"""
+
+
+def q_clean_corpus(spark, sf_dir):
+    """The C4-style cleaning pipeline composed end to end, ORACLED:
+    quality-score filter + language-ID filter + token-length bounds +
+    exact dedup (min-id winner per fingerprint), summarized per
+    predicted language. Every stage is one of the already-oracled text
+    operators; this row pins their COMPOSITION — filters stay pushed
+    into one scan-side projection, dedup shuffles only (fp, doc_id)."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        text.quality_score("text").alias("quality"),
+        text.lang_id("text").alias("lang_pred"),
+        text.token_count("text").alias("n_tokens"),
+        text.fingerprint("text").alias("fp"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= 0.3)
+        & (F.col("lang_pred") != "und")
+        & F.col("n_tokens").between(5, 5000)
+    )
+    winners = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    clean = kept.join(winners, ["fp", "doc_id"], "left_semi")
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+SQL_CLEAN_CORPUS = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_SQL_QUALITY_EXPR} AS quality,
+         {_LANG_CASE} AS lang_pred,
+         len({_SQL_TOKS}) AS n_tokens,
+         md5(array_to_string({_SQL_TOKS}, ' ')) AS fp
+  FROM documents
+), kept AS (
+  SELECT * FROM scored
+  WHERE quality >= 0.3 AND lang_pred <> 'und' AND n_tokens BETWEEN 5 AND 5000
+), winners AS (
+  SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp
+)
+SELECT k.lang, count(*) AS n_docs,
+       CAST(sum(k.n_tokens) AS BIGINT) AS total_tokens
+FROM kept k JOIN winners w ON k.fp = w.fp AND k.doc_id = w.doc_id
+GROUP BY k.lang
 """
 
 
@@ -1730,6 +1781,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "token_count_bpe": q_token_count_bpe,
     "quality_score": q_quality_score,
+    "clean_corpus": q_clean_corpus,
     "fingerprint": q_fingerprint,
     "lang_id": q_lang_id,
     "dedup_exact": q_dedup_exact,
@@ -1794,6 +1846,7 @@ ORACLES: dict[str, str] = {
     "token_count": SQL_TOKEN_COUNT,
     "token_count_bpe": SQL_TOKEN_COUNT_BPE,
     "quality_score": SQL_QUALITY,
+    "clean_corpus": SQL_CLEAN_CORPUS,
     "fingerprint": SQL_FINGERPRINT,
     "lang_id": SQL_LANG_ID,
     "dedup_exact": SQL_DEDUP_EXACT,
