@@ -111,6 +111,7 @@ def main() -> None:
         "hll_union_agg_sql",
         "video_frame_sums",
         "heavy_hitters_cms",
+        "clean_corpus",
     ]
     for name in bench_queries:
         fn = QUERIES[name]

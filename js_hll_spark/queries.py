@@ -1323,6 +1323,73 @@ def q_streaming_ndv_stateful(spark, sf_dir):
     )
 
 
+def q_streaming_heavy_hitters(spark, sf_dir):
+    """Streaming top-k heavy hitters, ORACLED: documents replay as a
+    3-file micro-batched stream, tokens explode per lang, and each lang
+    keeps one space-saving counter in the state store
+    (applyInPandasWithState). At pool=4096 the counter capacity exceeds
+    the distinct-token count at gate/bench SFs, so nothing evicts and
+    the final emitted top-10 per lang is the exact count — hash-matching
+    SQL's windowed rank with the same (count desc, token asc)
+    tie-break."""
+    import tempfile
+    import uuid
+
+    from .streaming.stateful import stateful_streaming_heavy_hitters
+
+    _ship(spark)
+    base = tempfile.mkdtemp(prefix="stream_hh_")
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    indir = f"{base}/in"
+    docs.repartition(3).write.parquet(indir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    toks = stream.select(
+        "lang", F.explode(text.tokens("text")).alias("tok")
+    )
+    out = stateful_streaming_heavy_hitters(
+        toks, "tok", keys=["lang"], k=10, pool=4096
+    )
+    name = f"hh_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{base}/_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = spark.table(name)
+    # rows_seen strictly increases per lang across updates -> rows from
+    # the final state carry the per-lang max
+    w = Window.partitionBy("lang")
+    return (
+        sink.withColumn("__mx", F.max("rows_seen").over(w))
+        .filter(F.col("rows_seen") == F.col("__mx"))
+        .select("lang", "tok", "n")
+    )
+
+
+SQL_STREAMING_HH = f"""
+WITH t AS (
+  SELECT lang, unnest({_SQL_TOKS}) AS tok FROM documents
+), c AS (
+  SELECT lang, tok, count(*) AS n FROM t GROUP BY 1, 2
+), r AS (
+  SELECT lang, tok, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS rn
+  FROM c
+)
+SELECT lang, tok, CAST(n AS BIGINT) AS n FROM r WHERE rn <= 10
+"""
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Streaming exact deduplication, ORACLED: documents replay as a
     3-file micro-batched stream; ``dropDuplicates('fp')`` keeps the
@@ -1774,6 +1841,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_ndv_hourly": q_streaming_ndv_hourly,
     "streaming_ndv_stateful": q_streaming_ndv_stateful,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_heavy_hitters": q_streaming_heavy_hitters,
     "hll_fold_union": q_hll_fold_union,
     "image_decode_sums": q_image_decode_sums,
     "audio_decode_sums": q_audio_decode_sums,
@@ -1840,6 +1908,7 @@ ORACLES: dict[str, str] = {
     "streaming_ndv_hourly": SQL_EVENTS_WINDOWED,
     "streaming_ndv_stateful": SQL_EVENTS_WINDOWED,
     "streaming_dedup": SQL_STREAMING_DEDUP,
+    "streaming_heavy_hitters": SQL_STREAMING_HH,
     "image_decode_sums": SQL_IMAGE_DECODE,
     "audio_decode_sums": SQL_AUDIO_DECODE,
     "sessionize": SQL_SESSIONIZE,

@@ -118,3 +118,76 @@ def stateful_streaming_ndv(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_streaming_heavy_hitters(
+    stream: DataFrame,
+    token_col: str,
+    *,
+    keys: Sequence[str] = (),
+    k: int = 10,
+    pool: int = 4096,
+):
+    """Running top-k heavy hitters per key group, maintained in the
+    state store: each group keeps one pickled space-saving counter
+    (bounded memory regardless of token cardinality — the streaming
+    mirror of the batch candidate tier, spark/sketch_agg.py), folds each
+    micro-batch's token value_counts in, and emits the refreshed top-k
+    with a deterministic (count desc, token asc) tie-break.
+
+    While the group's distinct-token count stays under the counter
+    capacity (``8 * pool``) nothing is ever evicted, so emitted counts
+    are EXACT — the oracle regime, same shape as the explicit-mode NDV
+    trick. Under eviction the space-saving invariant holds: tracked >=
+    true count, no heavy hitter displaced by a count restart."""
+    import pickle
+
+    from ..spark.sketch_agg import SpaceSavingCounter
+
+    keys = list(keys)
+    state_schema = StructType(
+        [
+            StructField("blob", BinaryType(), True),
+            StructField("rows_seen", LongType(), True),
+        ]
+    )
+    out_fields = [StructField(kk, StringType(), True) for kk in keys]
+    out_fields += [
+        StructField("tok", StringType(), True),
+        StructField("n", LongType(), True),
+        StructField("rows_seen", LongType(), True),
+    ]
+    out_schema = StructType(out_fields)
+
+    def update_fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            blob, rows_seen = state.get
+            counter = pickle.loads(bytes(blob))
+        else:
+            counter = SpaceSavingCounter(pool)
+            rows_seen = 0
+        for pdf in pdfs:
+            counter.update(pdf[token_col].value_counts())
+            rows_seen += len(pdf)
+        state.update((pickle.dumps(counter), rows_seen))
+        s = counter.counts
+        out = pd.DataFrame(
+            {"tok": s.index.astype(str), "n": s.to_numpy().astype(np.int64)}
+        )
+        out = out.sort_values(["n", "tok"], ascending=[False, True]).head(k)
+        out["rows_seen"] = rows_seen
+        for i, kk in enumerate(keys):
+            out.insert(i, kk, key[i])
+        yield out
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

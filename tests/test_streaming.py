@@ -235,3 +235,52 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         q.stop()
     got = sorted(r["key"] for r in spark.table(name).select("key").collect())
     assert got == list(range(60))
+
+
+def test_stateful_streaming_heavy_hitters_eviction_invariant(spark, tmp_path):
+    """Force eviction with a tiny pool: the space-saving invariant must
+    hold — every emitted count >= its true count, and the true top
+    token is still reported first (a heavy hitter cannot be displaced
+    by a count restart)."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from js_hll_spark.streaming.stateful import stateful_streaming_heavy_hitters
+
+    # skewed stream: 'hot' appears 300x, 200 rare tokens 1-2x each
+    rows = [("g", "hot")] * 300 + [
+        ("g", f"rare{i}") for i in range(200) for _ in (range(2) if i % 2 else range(1))
+    ]
+    pdf = pd.DataFrame(rows, columns=["grp", "tok"])
+    indir = str(tmp_path / "in")
+    spark.createDataFrame(pdf).repartition(3).write.parquet(indir)
+    stream = (
+        spark.readStream.schema("grp string, tok string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    out = stateful_streaming_heavy_hitters(
+        stream, "tok", keys=["grp"], k=5, pool=8
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_evict")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = spark.table("hh_evict")
+    final_rows = (
+        sink.withColumn("__mx", F.max("rows_seen").over(Window.partitionBy("grp")))
+        .filter(F.col("rows_seen") == F.col("__mx"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .collect()
+    )
+    true_counts = pdf.groupby("tok").size()
+    assert final_rows[0]["tok"] == "hot" and final_rows[0]["n"] >= 300
+    for r in final_rows:
+        assert r["n"] >= int(true_counts.get(r["tok"], 0))
