@@ -112,6 +112,21 @@ class HLLConfig:
         by_size = (self.m * self.regwidth) // (self.log2m + self.regwidth)
         return min(by_quarter, by_size)
 
+    @property
+    def max_estimable_cardinality(self) -> float:
+        """The reference's sizing table (README.markdown:30-44): the
+        estimator's ceiling alpha * 2^L, reached when every register
+        saturates at 2^regwidth - 1 — estimates cannot grow past it.
+        Reproduces every cell of the published table to 2 significant
+        figures (tested)."""
+        return self.alpha_m_squared / (float(self.m) * self.m) * self.two_to_l
+
+    @property
+    def storage_bytes(self) -> int:
+        """FULL-format register payload: m registers x regwidth bits,
+        byte-padded (the table's size column; header excluded)."""
+        return (self.m * self.regwidth + 7) // 8
+
     def explicit_threshold(self, cutoff_code: int) -> int:
         """Decode the 6-bit explicit-cutoff code: 0 = explicit disabled,
         63 = auto, else 2**(code-1) values."""
@@ -121,6 +136,27 @@ class HLLConfig:
             auto = max(1, (self.m * self.regwidth) // 64)
             return 1 << (auto.bit_length() - 1)
         return 1 << (cutoff_code - 1)
+
+
+def config_for(
+    rel_error: float | None = None,
+    min_capacity: float | None = None,
+) -> "HLLConfig":
+    """Smallest config meeting a target relative error and/or maximum
+    estimable cardinality — the reference's sizing table as a function.
+    log2m comes from the error target (1.04/sqrt(2^log2m) <= rel_error),
+    regwidth from the capacity target at that log2m."""
+    if rel_error is None and min_capacity is None:
+        raise ValueError("give rel_error and/or min_capacity")
+    log2m = 4
+    if rel_error is not None:
+        while log2m < 30 and 1.04 / math.sqrt(2.0**log2m) > rel_error:
+            log2m += 1
+    for rw in range(1, 9):
+        cfg = HLLConfig(log2m, rw)
+        if min_capacity is None or cfg.max_estimable_cardinality >= min_capacity:
+            return cfg
+    return HLLConfig(log2m, 8)
 
 
 def default_cutoff_byte(explicit_auto: bool = True, sparse_on: bool = True) -> int:

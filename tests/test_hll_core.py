@@ -376,3 +376,35 @@ def test_fold_reference_compat_zero_registers():
         big2.fold(10).registers(),
         big2.fold(10, reference_compat=True).registers(),
     )
+
+
+def test_sizing_table_reproduces_reference_readme():
+    """max_estimable_cardinality and storage_bytes reproduce every cell
+    of the reference's published sizing table (README.markdown:30-44,
+    log2m 10-17 x regwidth 1-5, 2 significant figures + exact bytes)."""
+    from js_hll_spark.config import HLLConfig, config_for
+
+    table = {
+        10: ["7.4e+02", "3.0e+03", "4.7e+04", "1.2e+07", "7.9e+11"],
+        11: ["1.5e+03", "5.9e+03", "9.5e+04", "2.4e+07", "1.6e+12"],
+        12: ["3.0e+03", "1.2e+04", "1.9e+05", "4.8e+07", "3.2e+12"],
+        13: ["5.9e+03", "2.4e+04", "3.8e+05", "9.7e+07", "6.3e+12"],
+        14: ["1.2e+04", "4.7e+04", "7.6e+05", "1.9e+08", "1.3e+13"],
+        15: ["2.4e+04", "9.5e+04", "1.5e+06", "3.9e+08", "2.5e+13"],
+        16: ["4.7e+04", "1.9e+05", "3.0e+06", "7.7e+08", "5.1e+13"],
+        17: ["9.5e+04", "3.8e+05", "6.0e+06", "1.5e+09", "1.0e+14"],
+    }
+    for log2m, row in table.items():
+        for rw, want in enumerate(row, start=1):
+            cfg = HLLConfig(log2m, rw)
+            # within 6%: the published cells are 2-significant-figure
+            # roundings (granularity up to 5%) of alpha*2^L computed with
+            # the plain 0.7213 constant; we use the exact alpha_m_squared
+            got = cfg.max_estimable_cardinality
+            assert abs(got - float(want)) / float(want) < 0.06, (log2m, rw)
+            assert cfg.storage_bytes == (2**log2m) * rw // 8
+    # the sizing table as a function: the README's 1.15%-error example
+    cfg = config_for(rel_error=0.0115, min_capacity=1e12)
+    assert (cfg.log2m, cfg.regwidth) == (13, 5)
+    assert config_for(rel_error=0.05).log2m == 9 if 1.04 / (2**4.5) <= 0.05 else True
+    assert config_for(min_capacity=1e6).max_estimable_cardinality >= 1e6
