@@ -9,7 +9,13 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BinaryType, DoubleType, IntegerType, StringType
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+)
 
 from ..core.hll import HLL
 
@@ -194,6 +200,32 @@ def hll_ndv_agg_udf(sketches: pd.Series) -> float:
     return acc.algorithm_cardinality() if acc is not None else None
 
 
+@pandas_udf(LongType())
+def hll_hash_bigint_udf(v: pd.Series) -> pd.Series:
+    """postgresql-hll's hll_hash_bigint: murmur3 x64-128 lower 64 of the
+    value's 8 little-endian bytes (the AK convention, seed 0) — feed the
+    result to hash_method='raw' sketches for ecosystem-identical
+    registers."""
+    import numpy as np
+
+    from ..hashing import murmur3_64_uint64, to_uint64
+
+    out = murmur3_64_uint64(to_uint64(v.to_numpy()))
+    return pd.Series(out.view(np.int64))
+
+
+@pandas_udf(LongType())
+def hll_hash_text_udf(v: pd.Series) -> pd.Series:
+    """postgresql-hll's hll_hash_text: murmur3 x64-128 lower 64 of the
+    UTF-8 bytes (AK convention, seed 0)."""
+    import numpy as np
+
+    from ..hashing import murmur3_64_bytes
+
+    out = murmur3_64_bytes(v.astype(str).tolist())
+    return pd.Series(out.view(np.int64))
+
+
 def register_sql_functions(spark) -> None:
     """Expose the sketch column functions to SQL:
 
@@ -220,3 +252,5 @@ def register_sql_functions(spark) -> None:
     spark.udf.register("hll_intersection", hll_intersection_udf)
     spark.udf.register("hll_intersection_error", hll_intersection_error_udf)
     spark.udf.register("hll_jaccard", hll_jaccard_udf)
+    spark.udf.register("hll_hash_bigint", hll_hash_bigint_udf)
+    spark.udf.register("hll_hash_text", hll_hash_text_udf)

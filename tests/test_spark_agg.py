@@ -497,3 +497,23 @@ def test_raw_hash_method_addraw_parity(spark, events):
             ).collect()
         }
         assert via_raw == direct, engine
+
+
+def test_hll_hash_sql_functions_ecosystem_parity(spark, events):
+    """postgresql-hll's hll_hash_bigint/hll_hash_text as SQL functions:
+    hashing in SQL and sketching the result with hash_method='raw' must
+    produce byte-identical sketches to the library's own murmur3 path —
+    the hash -> raw -> hex interop triangle a postgresql-hll user needs."""
+    from js_hll_spark.hashing import murmur3_64
+    from js_hll_spark.spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    events.select("user_id").createOrReplaceTempView("__ev")
+    pre = spark.sql("SELECT hll_hash_bigint(user_id) AS h FROM __ev")
+    via_sql = hll_sketch(pre, "h", hash_method="raw", log2m=11).first()
+    direct = hll_sketch(events, "user_id", hash_method="murmur3", log2m=11).first()
+    assert bytes(via_sql["sketch"]) == bytes(direct["sketch"])
+    # text variant cross-checks the scalar reference implementation
+    row = spark.sql("SELECT hll_hash_text('foobar') AS h").first()
+    want = murmur3_64(b"foobar")
+    assert row["h"] == (want if want < 2**63 else want - 2**64)
