@@ -299,6 +299,42 @@ FROM gaps GROUP BY user_id
 """
 
 
+def q_session_window_native(spark, sf_dir):
+    """Spark's NATIVE gap-based session operator (F.session_window — the
+    merging-session aggregation, a different physical op than the
+    lag/cumsum sessionize above), ORACLED against the same gap-islands
+    SQL. Boundary semantics differ from the manual twin by design:
+    session_window merges events at gap < 30 min and BREAKS at exactly
+    30 min, so the oracle's island predicate is >= 1800 (the manual
+    twin's is > 1800)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts2", F.col("ts").cast("timestamp")
+    )
+    sw = ev.groupBy(
+        "user_id", F.session_window("ts2", "30 minutes").alias("sw")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return sw.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+
+
+SQL_SESSION_WINDOW = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                      ORDER BY ts)) >= 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM gaps GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # text analysis (exact, oracled)
 # --------------------------------------------------------------------------
@@ -1846,6 +1882,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_decode_sums": q_image_decode_sums,
     "audio_decode_sums": q_audio_decode_sums,
     "sessionize": q_sessionize,
+    "session_window_native": q_session_window_native,
     "token_count": q_token_count,
     "token_count_bpe": q_token_count_bpe,
     "quality_score": q_quality_score,
@@ -1912,6 +1949,7 @@ ORACLES: dict[str, str] = {
     "image_decode_sums": SQL_IMAGE_DECODE,
     "audio_decode_sums": SQL_AUDIO_DECODE,
     "sessionize": SQL_SESSIONIZE,
+    "session_window_native": SQL_SESSION_WINDOW,
     "token_count": SQL_TOKEN_COUNT,
     "token_count_bpe": SQL_TOKEN_COUNT_BPE,
     "quality_score": SQL_QUALITY,
