@@ -641,7 +641,7 @@ SELECT count(*) AS n_overlap FROM (
 
 def q_hll_intersection_explicit(spark, sf_dir):
     """Inclusion-exclusion intersection computed ON SKETCHES, oracled:
-    python-engine sketches at log2m=16 stay EXPLICIT (auto threshold 4096
+    explicit-engine sketches at log2m=16 stay EXPLICIT (auto threshold 4096
     > the user-id cardinality at gate/bench SFs), so |A| + |B| - |A∪B| is
     exact set arithmetic and the sketch-side result hash-matches SQL
     INTERSECT. The estimate-tier variant over dense registers is
@@ -653,13 +653,13 @@ def q_hll_intersection_explicit(spark, sf_dir):
         events.filter(F.col("event_type") == "click"),
         "user_id",
         log2m=16,
-        engine="python",
+        engine="explicit",
     ).select(F.col("sketch").alias("a"), F.col("ndv").alias("ndv_a"))
     b = hll_sketch(
         events.filter(F.col("event_type") == "purchase"),
         "user_id",
         log2m=16,
-        engine="python",
+        engine="explicit",
     ).select(F.col("sketch").alias("b"), F.col("ndv").alias("ndv_b"))
     from .spark.functions import hll_cardinality_udf, hll_union_pair_udf
 
@@ -1018,7 +1018,7 @@ def q_hll_ndv_events_sliding(spark, sf_dir):
         "user_id",
     )
     sk = hll_sketch(
-        ev, "user_id", by=["window_start"], log2m=16, engine="python"
+        ev, "user_id", by=["window_start"], log2m=16, engine="explicit"
     )
     return sk.select("window_start", F.col("ndv").cast("long").alias("ndv"))
 
@@ -1239,7 +1239,7 @@ def q_streaming_ndv_hourly(spark, sf_dir):
     events as a 4-file stream (maxFilesPerTrigger=1 -> 4 micro-batches),
     maintain the per-(window, event_type) sketch-state table via the
     foreachBatch merge loop, then read the final state. Sketches are built
-    with the python engine and stay EXPLICIT (auto threshold 512 at
+    with the explicit engine and stay EXPLICIT (auto threshold 512 at
     log2m=13/rw=5 > max hourly NDV at sf<=0.1), so the 'estimates' are
     exact distinct counts and the whole streaming path oracles against
     count(DISTINCT). Late data needs no special case — a late event's
@@ -1270,7 +1270,7 @@ def q_streaming_ndv_hourly(spark, sf_dir):
         state_dir=base,
         watermark=None,
         log2m=13,
-        engine="python",
+        engine="explicit",
     )
     try:
         q.processAllAvailable()
@@ -1474,7 +1474,7 @@ SELECT DISTINCT md5(array_to_string({_SQL_TOKS}, ' ')) AS fp FROM documents
 
 def q_hll_sketch_rollup(spark, sf_dir):
     """Sketch-table rollup, ORACLED: sketch at (lang, source) grain with
-    python-engine sketches at log2m=16 (auto explicit threshold 4096 >
+    explicit-engine sketches at log2m=16 (auto explicit threshold 4096 >
     any per-lang distinct-text count at gate/bench SFs), roll up to lang
     by union only. EXPLICIT x EXPLICIT union is exact set arithmetic
     (core/hll.py union, postgresql-hll semantics), so the rolled-up ndv
@@ -1487,7 +1487,7 @@ def q_hll_sketch_rollup(spark, sf_dir):
         "text",
         by=["lang", "source"],
         log2m=16,
-        engine="python",
+        engine="explicit",
         estimate=False,
     )
     return hll_rollup(fine, ["lang"]).select(
@@ -1516,7 +1516,7 @@ def q_hll_union_agg_sql(spark, sf_dir):
         "text",
         by=["lang", "source"],
         log2m=16,
-        engine="python",
+        engine="explicit",
         estimate=False,
     )
     fine.createOrReplaceTempView("__sk_union_agg")
@@ -1524,6 +1524,45 @@ def q_hll_union_agg_sql(spark, sf_dir):
         "SELECT lang, CAST(hll_ndv_agg(sketch) AS BIGINT) AS ndv"
         " FROM __sk_union_agg GROUP BY lang"
     )
+
+
+def q_hll_sketch_cube(spark, sf_dir):
+    """All four grouping sets of (lang, source) answered from ONE fine
+    sketch table by union-only re-merge — the sketch version of GROUP BY
+    CUBE, ORACLED: explicit-mode sketches at log2m=16 keep every rollup
+    exact, so all grains hash-match DuckDB's CUBE with count(DISTINCT).
+    At 100 TB this is the point of sketch tables: N grouping sets cost
+    one scan plus N tiny sketch merges, not N scans."""
+    from functools import reduce
+
+    _ship(spark)
+    fine = hll_sketch(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        by=["lang", "source"],
+        log2m=16,
+        engine="explicit",
+        estimate=False,
+    )
+    # materialize the fine sketch table once; the four grouping-set
+    # rollups re-merge it instead of re-running the scan per grain
+    fine = fine.localCheckpoint()
+    parts = []
+    for keys in (["lang", "source"], ["lang"], ["source"], []):
+        r = hll_rollup(fine, keys)
+        for k in ("lang", "source"):
+            if k not in keys:
+                r = r.withColumn(k, F.lit(None).cast("string"))
+        parts.append(
+            r.select("lang", "source", F.col("ndv").cast("long").alias("ndv"))
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+SQL_SKETCH_CUBE = """
+SELECT lang, source, CAST(count(DISTINCT text) AS BIGINT) AS ndv
+FROM documents GROUP BY CUBE(lang, source)
+"""
 
 
 def q_hll_sketch_rollup_estimate(spark, sf_dir):
@@ -1567,7 +1606,7 @@ def q_sketch_table_query(spark, sf_dir):
         partition_col="source",
         by=["lang"],
         log2m=16,
-        engine="python",
+        engine="explicit",
     )
     sketch_table.update_sketch_table(
         docs.filter(F.col("source").isin(late)),
@@ -1576,7 +1615,7 @@ def q_sketch_table_query(spark, sf_dir):
         partition_col="source",
         by=["lang"],
         log2m=16,
-        engine="python",
+        engine="explicit",
     )
     out = sketch_table.query_sketch_table(
         spark, path, ["lang"], where=F.col("source") != "src0"
@@ -1926,6 +1965,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_ndv_events_hourly": q_hll_ndv_events_hourly,
     "hll_ndv_events_sliding": q_hll_ndv_events_sliding,
     "hll_sketch_rollup": q_hll_sketch_rollup,
+    "hll_sketch_cube": q_hll_sketch_cube,
     "hll_sketch_rollup_estimate": q_hll_sketch_rollup_estimate,
     "hll_union_agg_sql": q_hll_union_agg_sql,
     "video_frame_sums": q_video_frame_sums,
@@ -1973,6 +2013,7 @@ ORACLES: dict[str, str] = {
     "user_overlap_exact": SQL_USER_OVERLAP,
     "hll_intersection_explicit": SQL_USER_OVERLAP,
     "hll_sketch_rollup": SQL_SKETCH_ROLLUP,
+    "hll_sketch_cube": SQL_SKETCH_CUBE,
     "hll_union_agg_sql": SQL_SKETCH_ROLLUP,
     "video_frame_sums": SQL_VIDEO_DECODE,
     "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,

@@ -245,8 +245,10 @@ def hll_sketch(
     ``engine``: 'sql' computes registers inside Catalyst (hll_sketch_sql
     — fastest, default for xxhash64); 'python' uses the mapInPandas
     partial harness (required for murmur3, supports tree_fanin and the
-    memory budget). 'auto' picks by hash_method. Both engines produce
-    bit-identical sketches.
+    memory budget). Both build dense register files and produce
+    bit-identical sketches. 'explicit' builds TRUE explicit-mode
+    sketches (exact hash sets below the auto threshold — the exactness
+    tier, see hll_sketch_explicit). 'auto' picks by hash_method.
 
     High-cardinality group keys: both engines carry O(keys x m) state —
     the sql engine in Catalyst's spill-capable HashAggregate, the python
@@ -259,6 +261,19 @@ def hll_sketch(
 
     if engine == "auto":
         engine = "sql" if hash_method in ("xxhash64", "raw") else "python"
+    if engine == "explicit":
+        # true explicit-mode sets (the exactness tier) — see
+        # hll_sketch_explicit
+        return hll_sketch_explicit(
+            df,
+            value_col,
+            by,
+            log2m=log2m,
+            regwidth=regwidth,
+            hash_method=hash_method,
+            estimate=estimate,
+            keep_sketch=keep_sketch,
+        )
     if engine == "sql":
         if hash_method == "raw":
             # reference addRaw parity at DataFrame level: value_col
@@ -358,6 +373,105 @@ def hll_sketch(
     return partials.groupBy(F.lit(1).alias("__g")).applyInPandas(
         lambda pdf: merge_fn(pdf), schema=schema
     )
+
+
+def hll_sketch_explicit(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    *,
+    log2m: int = 13,
+    regwidth: int = 5,
+    hash_method: str = "xxhash64",
+    estimate: bool = True,
+    keep_sketch: bool = True,
+) -> DataFrame:
+    """TRUE explicit-mode sketching: each partial is a real :class:`HLL`
+    object whose EXPLICIT set holds the exact 64-bit hashes (spec
+    encoding preserves the type across the shuffle), merged per key by
+    set union in :func:`hll_rollup`. While every per-key distinct count
+    stays under the auto explicit threshold, the estimate is an exact
+    count of distinct hashes — equal to countDistinct absent a 64-bit
+    hash collision. This is the oracle tier: use it wherever a query
+    claims exactness. (The dense engines' estimates at m >> n are merely
+    NEAR-exact — linear counting lands within ±1 and can flip a
+    floor/cast, which is why exact claims must not ride on them.)
+
+    State per key is bounded by the explicit threshold (8 bytes x
+    threshold before promotion); past the threshold the sketch promotes
+    and estimates degrade gracefully to the dense tier's accuracy."""
+    config = HLLConfig(log2m, regwidth)
+    keys = list(by)
+    df = df.filter(F.col(value_col).isNotNull())
+    if hash_method == "raw":
+        hashed = df.select(*keys, F.col(value_col).cast("long").alias(_HASH_COL))
+        hash_in_python = False
+    elif hash_method == "murmur3":
+        dtype = dict(df.dtypes)[value_col]
+        col = F.col(value_col)
+        if dtype in ("tinyint", "smallint", "int", "bigint"):
+            col = col.cast("long")
+        hashed = df.select(*keys, col.alias(_HASH_COL))
+        hash_in_python = True
+    else:
+        hashed = df.select(*keys, _hash_column(value_col, hash_method).alias(_HASH_COL))
+        hash_in_python = False
+
+    key_fields = [hashed.schema[k] for k in keys]
+    schema = StructType(
+        key_fields
+        + [
+            StructField(_SKETCH_COL, BinaryType(), False),
+            StructField(_ROWS_COL, LongType(), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk: dict[tuple, HLL] = {}
+        rows: dict[tuple, int] = {}
+        for pdf in batches:
+            if hash_in_python:
+                col = pdf[_HASH_COL]
+                if col.dtype == object or str(col.dtype).startswith("str"):
+                    h = murmur3_64_bytes(col)
+                else:
+                    h = murmur3_64_uint64(to_uint64(col.to_numpy()))
+            else:
+                h = to_uint64(pdf[_HASH_COL].to_numpy())
+            if not keys:
+                s = sk.get(())
+                if s is None:
+                    s = sk[()] = HLL(config)
+                    rows[()] = 0
+                s.add_raw64(h)
+                rows[()] += len(pdf)
+                continue
+            groups = pdf.groupby(list(keys), sort=False, dropna=False).indices
+            for gkey, idx in groups.items():
+                gk = gkey if isinstance(gkey, tuple) else (gkey,)
+                s = sk.get(gk)
+                if s is None:
+                    s = sk[gk] = HLL(config)
+                    rows[gk] = 0
+                s.add_raw64(h[idx])
+                rows[gk] += len(idx)
+        if sk:
+            out = {k: [gk[i] for gk in sk] for i, k in enumerate(keys)}
+            out[_SKETCH_COL] = [s.to_bytes() for s in sk.values()]
+            out[_ROWS_COL] = [rows[gk] for gk in sk]
+            yield pd.DataFrame(out)
+
+    partials = hashed.mapInPandas(fn, schema=schema)
+    merged = hll_rollup(partials, keys, estimate=estimate)
+    if keys:
+        rows_df = partials.groupBy(*keys).agg(F.sum(_ROWS_COL).alias(_ROWS_COL))
+        out = merged.join(rows_df, keys)
+    else:
+        rows_df = partials.groupBy().agg(F.sum(_ROWS_COL).alias(_ROWS_COL))
+        out = merged.crossJoin(rows_df)
+    if not keep_sketch:
+        out = out.drop(_SKETCH_COL)
+    return out
 
 
 def hll_sketch_sql(

@@ -61,9 +61,11 @@ def streaming_ndv(
 
     ``watermark=None`` skips withWatermark (foreachBatch merges late data
     regardless — a late event is just another union; the watermark only
-    documents the freshness bound). ``engine='python'`` builds native
-    EXPLICIT-mode sketches, whose estimates are exact below the explicit
-    threshold. Read estimates any time with
+    documents the freshness bound). ``engine='explicit'`` builds TRUE
+    EXPLICIT-mode sketches (exact hash sets until the explicit
+    threshold), whose estimates are exact distinct counts — the oracle
+    tier; 'sql'/'python' build dense registers (the fixed-bytes scale
+    tier). Read estimates any time with
     ``read_ndv_state(spark, state_dir)``.
     """
     spark = stream.sparkSession

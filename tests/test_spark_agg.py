@@ -517,3 +517,31 @@ def test_hll_hash_sql_functions_ecosystem_parity(spark, events):
     row = spark.sql("SELECT hll_hash_text('foobar') AS h").first()
     want = murmur3_64(b"foobar")
     assert row["h"] == (want if want < 2**63 else want - 2**64)
+
+
+def test_explicit_engine_exact_and_promotes(spark, events):
+    """engine='explicit' is the exactness tier: below the auto explicit
+    threshold every estimate EQUALS countDistinct (exact hash-set union,
+    not near-exact linear counting — a dense sketch at m >> n can land
+    at n-1 after floor/cast, which is why exact-claiming queries must
+    not ride on the dense engines), and the merged sketch decodes as
+    EXPLICIT. Past the threshold it promotes and stays within bound."""
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    rows = hll_sketch(
+        events, "user_id", by=["event_type"], log2m=16, engine="explicit"
+    ).collect()
+    for r in rows:
+        assert r["ndv"] == exact[r["event_type"]], r["event_type"]
+        assert HLL.from_bytes(bytes(r["sketch"]))._explicit is not None
+    total = sum(r["rows_seen"] for r in rows)
+    assert total == events.count()
+    # tiny log2m -> tiny auto threshold -> promotion: estimate, not exact
+    promoted = hll_sketch(events, "user_id", log2m=10, engine="explicit").first()
+    n = events.select(F.countDistinct("user_id")).first()[0]
+    assert HLL.from_bytes(bytes(promoted["sketch"]))._explicit is None
+    assert abs(promoted["ndv"] - n) / n < 3 * BOUND(10)
