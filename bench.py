@@ -108,6 +108,8 @@ def main() -> None:
         "hll_ndv_by_lang",
         "hll_ndv_events_hourly",
         "hll_sketch_rollup",
+        "hll_sketch_cube",
+        "hll_ndv_events_sliding",
         "hll_union_agg_sql",
         "video_frame_sums",
         "heavy_hitters_cms",
