@@ -399,7 +399,12 @@ def hll_sketch_explicit(
 
     State per key is bounded by the explicit threshold (8 bytes x
     threshold before promotion); past the threshold the sketch promotes
-    and estimates degrade gracefully to the dense tier's accuracy."""
+    and estimates degrade gracefully to the dense tier's accuracy.
+    Unlike the python engine there is no memory-budget flush across
+    keys: with very high-cardinality ``by`` keys prefer the dense
+    engines (fixed bytes per key + spill-aware flushing) — the explicit
+    tier exists for exactness at modest key counts, not 100 TB group
+    fan-out."""
     config = HLLConfig(log2m, regwidth)
     keys = list(by)
     df = df.filter(F.col(value_col).isNotNull())
