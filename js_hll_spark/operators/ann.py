@@ -326,6 +326,130 @@ def ann_ivf(
     )
 
 
+def _pq_train(
+    sample: np.ndarray, m_sub: int, ksub: int, iters: int
+) -> np.ndarray:
+    """Deterministic per-subspace Lloyd's k-means on L2-normalized
+    vectors. Returns codebooks of shape (m_sub, ksub, dsub)."""
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    dsub = x.shape[1] // m_sub
+    books = np.empty((m_sub, ksub, dsub), dtype=np.float64)
+    for m in range(m_sub):
+        xs = x[:, m * dsub : (m + 1) * dsub]
+        idx = (np.arange(ksub) * len(xs)) // ksub
+        cent = xs[np.argsort(xs[:, 0], kind="stable")][idx].copy()
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for j in range(ksub):
+                members = xs[assign == j]
+                if len(members):
+                    cent[j] = members.mean(axis=0)
+        books[m] = cent
+    return books
+
+
+def ann_pq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int,
+    m_sub: int = 8,
+    ksub: int = 256,
+    train_sample: int = 4096,
+    iters: int = 8,
+    round_to: int = 5,
+) -> DataFrame:
+    """Product-quantization cosine top-k — the MEMORY tier of the ANN
+    family (FAISS-style PQ): vectors L2-normalize, each of ``m_sub``
+    subvectors quantizes to its nearest of ``ksub`` codewords, so a
+    dim-float embedding compresses to m_sub bytes (64 floats -> 8
+    bytes, 32x). Queries score candidates by asymmetric distance (ADC):
+    one (m_sub x ksub) lookup table of exact query-to-codeword dot
+    products per query, then a scan over CODES — at 10^12 rows the scan
+    reads m_sub bytes per vector instead of 4*dim, and each partition
+    emits only its local top-k per query (map-side combine), so the
+    final re-rank sees |queries| x k rows per partition, never vectors.
+
+    Training and the query set are bounded driver-side actions (the
+    standard PQ train step, same contract as ann_ivf's quantizer).
+    Returns (query_id, neighbor_id, adc, rank) — adc approximates the
+    cosine of normalized vectors; rank quality is carried by
+    recall_at_k in the registry."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    from pyspark.sql.window import Window
+
+    sample = np.array(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in vectors.select(vec_col)
+            .orderBy(F.col(id_col))
+            .limit(train_sample)
+            .collect()
+        ]
+    )
+    books = _pq_train(sample, m_sub, ksub, iters)
+    dsub = dim // m_sub
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    qx = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+    # LUT[q, m, c] = dot(q_sub_m, codeword_mc): exact per-subspace dots,
+    # so ADC error comes only from vector quantization
+    luts = np.einsum("qmd,mcd->qmc", qx.reshape(len(qx), m_sub, dsub), books)
+
+    out_schema = StructType(
+        [
+            StructField("query_id", queries.schema[id_col].dataType, False),
+            StructField("neighbor_id", vectors.schema[id_col].dataType, False),
+            StructField("adc", DoubleType(), False),
+        ]
+    )
+
+    def score_fn(batches):
+        for pdf in batches:
+            x = np.stack(pdf["__vv"].to_numpy()).astype(np.float64)
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            xs = x.reshape(len(x), m_sub, dsub)
+            # encode: nearest codeword per subspace
+            codes = np.empty((len(x), m_sub), dtype=np.int64)
+            for m in range(m_sub):
+                d = ((xs[:, m, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = np.argmin(d, axis=1)
+            ids = pdf["neighbor_id"].to_numpy()
+            parts = []
+            for qi, qid in enumerate(q_ids):
+                # ADC score = sum over subspaces of LUT[code]
+                s = luts[qi][np.arange(m_sub)[None, :], codes].sum(axis=1)
+                mask = ids != qid
+                sm, idm = s[mask], ids[mask]
+                top = np.argsort(-sm, kind="stable")[:k]
+                parts.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": idm[top], "adc": sm[top]}
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vv")
+    )
+    scored = v.mapInPandas(score_fn, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("adc", F.round("adc", round_to))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
     """Annotate an ANN result with per-query recall vs an exact baseline:
     |approx ∩ exact_topk| / |exact_topk|, repeated on each of the query's

@@ -938,6 +938,22 @@ def q_ann_ivf(spark, sf_dir):
     return ann.recall_at_k(approx, exact)
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (the memory tier: 64 floats -> 16 bytes
+    at these settings, ADC scan over codes with per-partition top-k)
+    with recall@k vs the brute-force twin as an output column (see
+    q_ann_ivf). Rows-only: codes depend on the trained codebooks; the
+    recall floor is asserted in pytest (0.80 at m_sub=16/ksub=256 on the
+    gate embeddings)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = ann.ann_pq(emb, queries, k=5, dim=64, m_sub=16, ksub=256)
+    exact = ann.ann_bruteforce(emb, queries, k=5, round_to=4)
+    return ann.recall_at_k(approx, exact)
+
+
 def q_ann_lsh(spark, sf_dir):
     """LSH ANN with recall@k vs the brute-force twin as an output column
     (see q_ann_ivf). Rows-only: bucketing depends on seeded hyperplanes;
@@ -1942,6 +1958,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_pq": q_ann_pq,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     "sink_roundtrip": q_sink_roundtrip,
