@@ -118,6 +118,44 @@ def merge_into_sketch_table(
     )
 
 
+def stream_into_sketch_table(
+    stream: DataFrame,
+    value_col: str,
+    path: str,
+    *,
+    partition_col: str,
+    by: Sequence[str] = (),
+    checkpoint_dir: str,
+    **sketch_kw,
+):
+    """Maintain a sketch table from a Structured Streaming source: each
+    micro-batch merges into the stored table via
+    :func:`merge_into_sketch_table` (partition-scoped read-modify-write
+    of KB-sized sketch rows). Unions are idempotent on registers, so a
+    replayed batch after checkpoint recovery cannot inflate any NDV —
+    exactly-once estimates from an at-least-once sink. Returns the
+    started StreamingQuery (caller awaits/stops)."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_into_sketch_table(
+            batch_df,
+            value_col,
+            path,
+            partition_col=partition_col,
+            by=by,
+            **sketch_kw,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def read_sketch_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 

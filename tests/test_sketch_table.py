@@ -134,3 +134,43 @@ def test_global_rollup_from_table(spark, documents, tmp_path):
     got = sketch_table.query_sketch_table(spark, path, []).collect()[0]["ndv"]
     want = hll_ndv(documents, "text", log2m=13).collect()[0]["ndv"]
     assert got == want
+
+
+def test_stream_into_sketch_table(spark, documents, tmp_path):
+    """A 3-file micro-batched replay through stream_into_sketch_table
+    ends with the same per-lang NDVs a one-shot batch build produces
+    (split-insensitive merges), using the explicit engine so equality
+    is exact."""
+    indir = str(tmp_path / "in")
+    documents.select("source", "lang", "text").repartition(3).write.parquet(indir)
+    stream = (
+        spark.readStream.schema("source string, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    path = str(tmp_path / "tbl")
+    q = sketch_table.stream_into_sketch_table(
+        stream,
+        "text",
+        path,
+        partition_col="source",
+        by=["lang"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        log2m=16,
+        engine="explicit",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["lang"], round(r["ndv"]))
+        for r in sketch_table.query_sketch_table(spark, path, ["lang"]).collect()
+    )
+    want = sorted(
+        (r["lang"], r["n"])
+        for r in documents.groupBy("lang")
+        .agg(F.countDistinct("text").alias("n"))
+        .collect()
+    )
+    assert got == want
