@@ -450,6 +450,146 @@ def ann_pq(
     )
 
 
+def ann_ivfpq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m_sub: int = 16,
+    ksub: int = 256,
+    train_sample: int = 4096,
+    iters: int = 8,
+    round_to: int = 5,
+) -> DataFrame:
+    """IVF + PQ — the standard composed index (FAISS IVFPQ shape): a
+    coarse spherical-k-means quantizer prunes candidates to ``nprobe``
+    lists per query, and scoring inside the probed lists runs on
+    ``m_sub``-byte PQ codes via the ADC lookup table instead of full
+    vectors. The candidate join therefore shuffles (list_id, id, codes)
+    rows — m_sub bytes of payload per vector instead of 4*dim — and
+    touches only the probed fraction of the table: both ANN scale levers
+    at once (list pruning for compute, code compression for bytes).
+    Returns (query_id, neighbor_id, adc, rank)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.window import Window
+
+    sample = np.array(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in vectors.select(vec_col)
+            .orderBy(F.col(id_col))
+            .limit(train_sample)
+            .collect()
+        ]
+    )
+    cent = _kmeans(sample, nlist, iters, seed=0)
+    cent_t = cent.T.copy()
+    books = _pq_train(sample, m_sub, ksub, iters)
+    dsub = dim // m_sub
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    qx = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+    luts = np.einsum("qmd,mcd->qmc", qx.reshape(len(qx), m_sub, dsub), books)
+    q_probe = {
+        qid: np.argsort(-(q @ cent_t))[:nprobe].tolist()
+        for qid, q in zip(q_ids, qx)
+    }
+
+    # one pass assigns the list AND encodes: only (id, list_id, codes)
+    # leave this stage — vectors never shuffle
+    enc_schema = StructType(
+        [
+            StructField("neighbor_id", vectors.schema[id_col].dataType, False),
+            StructField("list_id", LongType(), False),
+            StructField("codes", ArrayType(IntegerType()), False),
+        ]
+    )
+
+    def encode_fn(batches):
+        for pdf in batches:
+            x = np.stack(pdf["__vv"].to_numpy()).astype(np.float64)
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            lists = np.argmax(x @ cent_t, axis=1).astype(np.int64)
+            xs = x.reshape(len(x), m_sub, dsub)
+            codes = np.empty((len(x), m_sub), dtype=np.int32)
+            for m in range(m_sub):
+                d = ((xs[:, m, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "list_id": lists,
+                    "codes": list(codes),
+                }
+            )
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vv")
+    ).mapInPandas(encode_fn, schema=enc_schema)
+
+    probe_rows = [
+        (qid, int(l)) for qid, ls in q_probe.items() for l in ls
+    ]
+    q_lists = queries.sparkSession.createDataFrame(
+        probe_rows, ["query_id", "list_id"]
+    )
+    cand = v.join(F.broadcast(q_lists), "list_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+
+    lut_by_qid = {qid: luts[i] for i, qid in enumerate(q_ids)}
+    score_schema = StructType(
+        [
+            StructField("query_id", queries.schema[id_col].dataType, False),
+            StructField("neighbor_id", vectors.schema[id_col].dataType, False),
+            StructField("adc", DoubleType(), False),
+        ]
+    )
+
+    def adc_fn(batches):
+        rng = np.arange(m_sub)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            out = np.empty(len(pdf))
+            qcol = pdf["query_id"].to_numpy()
+            for qid in pd.unique(qcol):
+                mask = qcol == qid
+                out[mask] = lut_by_qid[qid][rng[None, :], codes[mask]].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": qcol,
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "adc": out,
+                }
+            )
+
+    scored = cand.mapInPandas(adc_fn, schema=score_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("adc", F.round("adc", round_to))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
     """Annotate an ANN result with per-query recall vs an exact baseline:
     |approx ∩ exact_topk| / |exact_topk|, repeated on each of the query's

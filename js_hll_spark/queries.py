@@ -954,6 +954,23 @@ def q_ann_pq(spark, sf_dir):
     return ann.recall_at_k(approx, exact)
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF+PQ composed index (list pruning for compute + 16-byte codes
+    for shuffle bytes) with recall@k vs brute force as an output column.
+    Rows-only; the recall/nprobe ladder (0.52/0.68/0.80 at nprobe
+    4/8/16 on the gate embeddings, ceiling = the PQ tier) is pinned in
+    pytest."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = ann.ann_ivfpq(
+        emb, queries, k=5, dim=64, nlist=16, nprobe=8, m_sub=16, ksub=256
+    )
+    exact = ann.ann_bruteforce(emb, queries, k=5, round_to=4)
+    return ann.recall_at_k(approx, exact)
+
+
 def q_ann_lsh(spark, sf_dir):
     """LSH ANN with recall@k vs the brute-force twin as an output column
     (see q_ann_ivf). Rows-only: bucketing depends on seeded hyperplanes;
@@ -1959,6 +1976,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
+    "ann_ivfpq": q_ann_ivfpq,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     "sink_roundtrip": q_sink_roundtrip,

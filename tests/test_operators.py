@@ -413,3 +413,26 @@ def test_ann_pq_recall_and_selfmatch(spark):
     # per-query rows carry k results with dense ranks
     counts = approx.groupBy("query_id").count().collect()
     assert all(r["count"] == 5 for r in counts)
+
+
+def test_ann_ivfpq_recall_ladder_and_full_probe_equals_pq(spark):
+    """IVFPQ: recall grows with nprobe, and probing every list reduces
+    to the PQ-only tier exactly (same sample -> same codebooks -> same
+    codes -> identical ADC ranking)."""
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+        .cache()
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = ann.ann_bruteforce(emb, queries, k=5)
+    mid = ann.ann_ivfpq(emb, queries, k=5, dim=64, nlist=16, nprobe=8,
+                        m_sub=16, ksub=256)
+    hits = exact.join(mid, ["query_id", "neighbor_id"], "left_semi").count()
+    assert hits / exact.count() > 0.4  # 0.68 measured at nprobe=8
+    full = ann.ann_ivfpq(emb, queries, k=5, dim=64, nlist=16, nprobe=16,
+                         m_sub=16, ksub=256)
+    pq = ann.ann_pq(emb, queries, k=5, dim=64, m_sub=16, ksub=256)
+    got = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in full.collect()}
+    want = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in pq.collect()}
+    assert got == want
