@@ -470,7 +470,17 @@ def hll_sketch_explicit(
     merged = hll_rollup(partials, keys, estimate=estimate)
     if keys:
         rows_df = partials.groupBy(*keys).agg(F.sum(_ROWS_COL).alias(_ROWS_COL))
-        out = merged.join(rows_df, keys)
+        # eqNullSafe: a plain equality join would silently DROP the null
+        # group (NULL = NULL is not true in join conditions)
+        cond = None
+        for k in keys:
+            c = merged[k].eqNullSafe(rows_df[k])
+            cond = c if cond is None else cond & c
+        out = merged.join(rows_df, cond).select(
+            *[merged[k] for k in keys],
+            *[merged[c] for c in merged.columns if c not in keys],
+            rows_df[_ROWS_COL],
+        )
     else:
         rows_df = partials.groupBy().agg(F.sum(_ROWS_COL).alias(_ROWS_COL))
         out = merged.crossJoin(rows_df)

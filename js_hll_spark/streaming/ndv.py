@@ -40,7 +40,16 @@ def merge_sketch_tables(
     )
     merged = hll_rollup(both, keys, estimate=False)
     rows = both.groupBy(*keys).agg(F.sum("rows_seen").alias("rows_seen"))
-    return merged.join(rows, list(keys))
+    # eqNullSafe: an equality join would drop a null-keyed group
+    cond = None
+    for k in keys:
+        c = merged[k].eqNullSafe(rows[k])
+        cond = c if cond is None else cond & c
+    return merged.join(rows, cond).select(
+        *[merged[k] for k in keys],
+        merged["sketch"],
+        rows["rows_seen"],
+    )
 
 
 def streaming_ndv(

@@ -545,3 +545,22 @@ def test_explicit_engine_exact_and_promotes(spark, events):
     n = events.select(F.countDistinct("user_id")).first()[0]
     assert HLL.from_bytes(bytes(promoted["sketch"]))._explicit is None
     assert abs(promoted["ndv"] - n) / n < 3 * BOUND(10)
+
+
+def test_explicit_engine_null_group_keys(spark):
+    """A null in the by-column must form one group (not split across
+    Arrow batches / partitions) and stay exact, matching countDistinct's
+    null-group semantics."""
+    df = spark.createDataFrame(
+        [(None if i % 3 == 0 else f"g{i % 2}", i % 37) for i in range(600)],
+        ["grp", "val"],
+    ).repartition(7)
+    got = {
+        r["grp"]: r["ndv"]
+        for r in hll_sketch(df, "val", by=["grp"], log2m=14, engine="explicit").collect()
+    }
+    want = {
+        r["grp"]: r["n"]
+        for r in df.groupBy("grp").agg(F.countDistinct("val").alias("n")).collect()
+    }
+    assert got == want
