@@ -254,6 +254,8 @@ def ann_ivf(
     # candidate join on list_id
     def assign_fn(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             x = np.stack(pdf["__vv"].to_numpy()).astype(np.float64)
             xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
             pdf = pdf.copy()
@@ -275,6 +277,8 @@ def ann_ivf(
     # queries probe their nprobe nearest lists (numpy once per batch)
     def probe_fn(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
             x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
             order = np.argsort(-(x @ cent_t), axis=1)[:, :nprobe]
@@ -413,6 +417,8 @@ def ann_pq(
 
     def score_fn(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             x = np.stack(pdf["__vv"].to_numpy()).astype(np.float64)
             x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
             xs = x.reshape(len(x), m_sub, dsub)
@@ -522,6 +528,8 @@ def ann_ivfpq(
 
     def encode_fn(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             x = np.stack(pdf["__vv"].to_numpy()).astype(np.float64)
             x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
             lists = np.argmax(x @ cent_t, axis=1).astype(np.int64)
