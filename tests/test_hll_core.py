@@ -406,5 +406,6 @@ def test_sizing_table_reproduces_reference_readme():
     # the sizing table as a function: the README's 1.15%-error example
     cfg = config_for(rel_error=0.0115, min_capacity=1e12)
     assert (cfg.log2m, cfg.regwidth) == (13, 5)
-    assert config_for(rel_error=0.05).log2m == 9 if 1.04 / (2**4.5) <= 0.05 else True
+    # 1.04/sqrt(2^9) = 0.0460 <= 0.05 < 1.04/sqrt(2^8) = 0.065
+    assert config_for(rel_error=0.05).log2m == 9
     assert config_for(min_capacity=1e6).max_estimable_cardinality >= 1e6
