@@ -152,11 +152,19 @@ def config_for(
     if rel_error is not None:
         while log2m < 30 and 1.04 / math.sqrt(2.0**log2m) > rel_error:
             log2m += 1
+    if min_capacity is None:
+        # no capacity target: the reference default regwidth, not the
+        # smallest — regwidth=1 caps estimates at ~0.72*m, which would
+        # silently clamp any set larger than the register count
+        return HLLConfig(log2m, 5)
     for rw in range(1, 9):
         cfg = HLLConfig(log2m, rw)
-        if min_capacity is None or cfg.max_estimable_cardinality >= min_capacity:
+        if cfg.max_estimable_cardinality >= min_capacity:
             return cfg
-    return HLLConfig(log2m, 8)
+    raise ValueError(
+        f"min_capacity={min_capacity:g} unreachable at log2m={log2m} even "
+        "with regwidth=8; lower the capacity target or the error target"
+    )
 
 
 def default_cutoff_byte(explicit_auto: bool = True, sparse_on: bool = True) -> int:

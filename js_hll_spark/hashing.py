@@ -21,7 +21,11 @@ from __future__ import annotations
 
 import numpy as np
 
-DEFAULT_SEED = 0x123456  # README.markdown:81
+# postgresql-hll's hll_hash_* default seed — the ecosystem convention
+# that matters for cross-system sketch interop. (The js-hll README's
+# usage example illustrates with seed 0x123456, README.markdown:81;
+# pass it explicitly where that flow is replayed.)
+DEFAULT_SEED = 0
 
 _MASK64 = 0xFFFFFFFFFFFFFFFF
 _C1 = 0x87C37B91114253D5

@@ -433,8 +433,12 @@ def ann_pq(
                 # ADC score = sum over subspaces of LUT[code]
                 s = luts[qi][np.arange(m_sub)[None, :], codes].sum(axis=1)
                 mask = ids != qid
-                sm, idm = s[mask], ids[mask]
-                top = np.argsort(-sm, kind="stable")[:k]
+                # round BEFORE the local cut with the same (score desc,
+                # id asc) tie-break as the global window — an unrounded
+                # cut could drop a candidate that ties after rounding
+                # and would win on id, making output partition-dependent
+                sm, idm = np.round(s[mask], round_to), ids[mask]
+                top = np.lexsort((idm, -sm))[:k]
                 parts.append(
                     pd.DataFrame(
                         {"query_id": qid, "neighbor_id": idm[top], "adc": sm[top]}

@@ -383,6 +383,7 @@ def connected_components(
             .select("id", F.col("id").alias("lbl"))
         )
     labels = labels.localCheckpoint()
+    changed = 0
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -405,6 +406,15 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # silent truncation would report one true component as several
+        # clusters; a >max_iter-diameter component is pathological for
+        # near-dup graphs and deserves a loud failure
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — the pair graph has a "
+            "component with diameter > max_iter; raise max_iter"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

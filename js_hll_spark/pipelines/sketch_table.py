@@ -103,7 +103,14 @@ def merge_into_sketch_table(
         existing = None
     if existing is not None:
         affected = new.select(partition_col).distinct()
-        old = existing.join(affected, partition_col, "left_semi")
+        # eqNullSafe semi-join: a plain key join would fail to read the
+        # stored null partition's sketch (NULL = NULL is not true), and
+        # the dynamic overwrite would then destroy its accumulated state
+        old = existing.join(
+            affected,
+            existing[partition_col].eqNullSafe(affected[partition_col]),
+            "left_semi",
+        )
         # materialize before the overwrite: merged reads lazily from the
         # very partitions the writer replaces; localCheckpoint forces the
         # read to finish first (bounded — sketch rows are KB-sized)

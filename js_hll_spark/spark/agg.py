@@ -466,7 +466,11 @@ def hll_sketch_explicit(
             out[_ROWS_COL] = [rows[gk] for gk in sk]
             yield pd.DataFrame(out)
 
-    partials = hashed.mapInPandas(fn, schema=schema)
+    # materialize partials once: the rollup and the rows_seen aggregate
+    # are two consumers, and without this the full scan + hash-set build
+    # would execute twice (partials are one small row per key per
+    # partition — cheap to pin)
+    partials = hashed.mapInPandas(fn, schema=schema).localCheckpoint()
     merged = hll_rollup(partials, keys, estimate=estimate)
     if keys:
         rows_df = partials.groupBy(*keys).agg(F.sum(_ROWS_COL).alias(_ROWS_COL))

@@ -203,13 +203,25 @@ def hll_ndv_agg_udf(sketches: pd.Series) -> float:
 @pandas_udf(LongType())
 def hll_hash_bigint_udf(v: pd.Series) -> pd.Series:
     """postgresql-hll's hll_hash_bigint: murmur3 x64-128 lower 64 of the
-    value's 8 little-endian bytes (the AK convention, seed 0) — feed the
-    result to hash_method='raw' sketches for ecosystem-identical
-    registers."""
+    value's 8 little-endian bytes (seed 0, the postgresql-hll default) —
+    feed the result to hash_method='raw' sketches for
+    ecosystem-identical registers.
+
+    Rejects batches containing NULL: Arrow delivers int64-with-nulls as
+    float64, which silently corrupts |v| > 2^53 BEFORE this function
+    sees the data — filter or COALESCE upstream (postgresql-hll returns
+    NULL for NULL; express that as CASE WHEN x IS NULL THEN NULL ELSE
+    hll_hash_bigint(x) END over a non-null branch)."""
     import numpy as np
 
     from ..hashing import murmur3_64_uint64, to_uint64
 
+    if v.dtype.kind == "f":
+        raise ValueError(
+            "hll_hash_bigint: NULL in input batch (or a float column) — "
+            "int64-with-nulls arrives as float64 and loses precision past "
+            "2^53; filter nulls upstream"
+        )
     out = murmur3_64_uint64(to_uint64(v.to_numpy()))
     return pd.Series(out.view(np.int64))
 
@@ -217,13 +229,18 @@ def hll_hash_bigint_udf(v: pd.Series) -> pd.Series:
 @pandas_udf(LongType())
 def hll_hash_text_udf(v: pd.Series) -> pd.Series:
     """postgresql-hll's hll_hash_text: murmur3 x64-128 lower 64 of the
-    UTF-8 bytes (AK convention, seed 0)."""
+    UTF-8 bytes (seed 0, the postgresql-hll default). NULL hashes to
+    NULL, matching postgresql-hll."""
     import numpy as np
 
     from ..hashing import murmur3_64_bytes
 
-    out = murmur3_64_bytes(v.astype(str).tolist())
-    return pd.Series(out.view(np.int64))
+    mask = v.isna().to_numpy()
+    out = pd.array([None] * len(v), dtype="Int64")
+    if (~mask).any():
+        hashed = murmur3_64_bytes([str(s) for s in v[~mask]]).view(np.int64)
+        out[~mask] = hashed
+    return pd.Series(out)
 
 
 def register_sql_functions(spark) -> None:

@@ -151,7 +151,11 @@ def stateful_streaming_heavy_hitters(
             StructField("rows_seen", LongType(), True),
         ]
     )
-    out_fields = [StructField(kk, StringType(), True) for kk in keys]
+    # key output columns take the stream's actual types (an int shard
+    # key declared as StringType would die at the Arrow boundary)
+    out_fields = [
+        StructField(kk, stream.schema[kk].dataType, True) for kk in keys
+    ]
     out_fields += [
         StructField("tok", StringType(), True),
         StructField("n", LongType(), True),

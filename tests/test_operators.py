@@ -436,3 +436,16 @@ def test_ann_ivfpq_recall_ladder_and_full_probe_equals_pq(spark):
     got = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in full.collect()}
     want = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in pq.collect()}
     assert got == want
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A chain longer than max_iter must fail loudly, not return a
+    silently split component."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    with pytest.raises(Exception, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=3)
+    # and converges fine when max_iter covers the diameter
+    got = dedup.connected_components(pairs, max_iter=20)
+    assert got.select("cluster_id").distinct().count() == 1

@@ -564,3 +564,23 @@ def test_explicit_engine_null_group_keys(spark):
         for r in df.groupBy("grp").agg(F.countDistinct("val").alias("n")).collect()
     }
     assert got == want
+
+
+def test_hll_hash_text_null_maps_to_null(spark):
+    """postgresql-hll semantics: hll_hash_text(NULL) IS NULL; a null in
+    a bigint batch raises loudly instead of silently hashing garbage
+    (Arrow float64 coercion corrupts |v| > 2^53 upstream of the UDF)."""
+    from js_hll_spark.spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    rows = spark.sql(
+        "SELECT hll_hash_text(x) AS h FROM VALUES ('a'), (NULL), ('b') t(x)"
+    ).collect()
+    assert rows[1]["h"] is None
+    assert rows[0]["h"] is not None and rows[2]["h"] is not None
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NULL in input batch|float"):
+        spark.sql(
+            "SELECT hll_hash_bigint(x) AS h FROM VALUES (1L), (CAST(NULL AS LONG)) t(x)"
+        ).collect()
