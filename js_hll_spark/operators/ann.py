@@ -622,4 +622,7 @@ def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
             F.coalesce(F.col("__n_hit"), F.lit(0)) / F.col("__n_exact"), 4
         ).alias("recall_at_k"),
     )
-    return approx.join(F.broadcast(rec), "query_id", "left")
+    # no forced broadcast: rec scales with the query count, and AQE
+    # broadcasts it at runtime when it fits (a pinned hint would OOM on
+    # a million-query production run)
+    return approx.join(rec, "query_id", "left")

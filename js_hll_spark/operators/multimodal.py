@@ -237,6 +237,10 @@ def decode_y4m(blob: bytes) -> tuple[np.ndarray, tuple[int, int]]:
             v = v.repeat(sub, 0).repeat(sub, 1)
         frames.append(np.stack([y, u, v], axis=-1))
         pos += frame_sz
+    if not frames:
+        # a header-only stream is legal Y4M (zero frames); np.stack([])
+        # would raise an unrelated ValueError from numpy internals
+        return np.empty((0, h, w, 3), dtype=np.uint8), fps
     return np.stack(frames), fps
 
 

@@ -278,11 +278,14 @@ def hll_sketch(
         if hash_method == "raw":
             # reference addRaw parity at DataFrame level: value_col
             # already holds 64-bit hashes (e.g. from an AK-ecosystem
-            # producer); sketch them directly, no re-hash
+            # producer); sketch them directly, no re-hash. Filter AFTER
+            # the cast: a non-castable value (string garbage) yields a
+            # NULL hash that would otherwise crash register assembly
+            # with an opaque numpy IndexError
             return hll_sketch_sql(
-                df.filter(F.col(value_col).isNotNull()).select(
+                df.select(
                     *keys, F.col(value_col).cast("long").alias(value_col)
-                ),
+                ).filter(F.col(value_col).isNotNull()),
                 value_col,
                 by,
                 log2m=log2m,
@@ -320,9 +323,10 @@ def hll_sketch(
             col = col.cast("long")
         hashed = df.select(*keys, col.alias(_HASH_COL))
     elif hash_method == "raw":
+        # filter after the cast: non-castable values yield NULL hashes
         hashed = df.select(
             *keys, F.col(value_col).cast("long").alias(_HASH_COL)
-        )
+        ).filter(F.col(_HASH_COL).isNotNull())
     else:
         hashed = df.select(*keys, _hash_column(value_col, hash_method).alias(_HASH_COL))
 
@@ -335,9 +339,13 @@ def hll_sketch(
     if tree_fanin is None:
         # one intermediate merge level bounds the final task's fan-in when
         # the job has many input partitions (100 TB => ~10^5 partitions).
-        # defaultParallelism approximates task count without forcing the
-        # DataFrame through an RDD conversion / plan analysis per call.
-        n_parts = df.sparkSession.sparkContext.defaultParallelism
+        # The partial count equals hashed's partition count — NOT
+        # defaultParallelism (cores), which on a small cluster reading a
+        # many-split table would leave the guard off in exactly the case
+        # it exists for. The one-time plan analysis per sketch call is
+        # the price of getting the bound right; callers on a hot path
+        # can pass tree_fanin explicitly to skip it.
+        n_parts = hashed.rdd.getNumPartitions()
         tree_fanin = 64 if n_parts > 256 else 0
 
     if tree_fanin:
@@ -409,7 +417,10 @@ def hll_sketch_explicit(
     keys = list(by)
     df = df.filter(F.col(value_col).isNotNull())
     if hash_method == "raw":
-        hashed = df.select(*keys, F.col(value_col).cast("long").alias(_HASH_COL))
+        # filter after the cast: non-castable values yield NULL hashes
+        hashed = df.select(
+            *keys, F.col(value_col).cast("long").alias(_HASH_COL)
+        ).filter(F.col(_HASH_COL).isNotNull())
         hash_in_python = False
     elif hash_method == "murmur3":
         dtype = dict(df.dtypes)[value_col]

@@ -25,7 +25,7 @@ def hll_cardinality_udf(sketches: pd.Series) -> pd.Series:
     """Estimate cardinality of each spec-encoded sketch blob
     (reference: algorithmCardinality, src/hll.js:276-299)."""
     return sketches.map(
-        lambda b: HLL.from_bytes(bytes(b)).algorithm_cardinality()
+        lambda b: None if b is None else HLL.from_bytes(bytes(b)).algorithm_cardinality()
     )
 
 
@@ -33,14 +33,14 @@ def hll_cardinality_udf(sketches: pd.Series) -> pd.Series:
 def hll_to_hex_udf(sketches: pd.Series) -> pd.Series:
     """Spec bytes -> '/x…' hex string (postgresql-hll interop,
     src/util.js:167-174)."""
-    return sketches.map(lambda b: "/x" + bytes(b).hex())
+    return sketches.map(lambda b: None if b is None else "/x" + bytes(b).hex())
 
 
 @pandas_udf(BinaryType())
 def hll_from_hex_udf(hexes: pd.Series) -> pd.Series:
     """'/x…' (any 2-char prefix) hex string -> spec bytes
     (src/util.js:145-147)."""
-    return hexes.map(lambda s: bytes.fromhex(s[2:]))
+    return hexes.map(lambda s: None if s is None else bytes.fromhex(s[2:]))
 
 
 @pandas_udf(BinaryType())
@@ -62,7 +62,7 @@ def hll_fold_udf(sketches: pd.Series, log2m: pd.Series) -> pd.Series:
     """Fold each sketch to a smaller log2m (src/hll.js:363-398)."""
     return pd.Series(
         [
-            HLL.from_bytes(bytes(b)).fold(int(k)).to_bytes()
+            None if b is None else HLL.from_bytes(bytes(b)).fold(int(k)).to_bytes()
             for b, k in zip(sketches, log2m)
         ]
     )
@@ -74,20 +74,26 @@ _ALG_NAMES = {1: "EMPTY", 2: "EXPLICIT", 3: "SPARSE", 4: "FULL"}
 @pandas_udf(IntegerType())
 def hll_schema_version_udf(sketches: pd.Series) -> pd.Series:
     """postgresql-hll's hll_schema_version: upper nibble of byte 0."""
-    return sketches.map(lambda b: bytes(b)[0] >> 4).astype("int32")
+    return sketches.map(
+        lambda b: None if b is None else bytes(b)[0] >> 4
+    ).astype("Int32")
 
 
 @pandas_udf(IntegerType())
 def hll_log2m_udf(sketches: pd.Series) -> pd.Series:
     """postgresql-hll's hll_log2m: lower 5 bits of byte 1 — header-only
     introspection, no body decode."""
-    return sketches.map(lambda b: bytes(b)[1] & 0x1F).astype("int32")
+    return sketches.map(
+        lambda b: None if b is None else bytes(b)[1] & 0x1F
+    ).astype("Int32")
 
 
 @pandas_udf(IntegerType())
 def hll_regwidth_udf(sketches: pd.Series) -> pd.Series:
     """postgresql-hll's hll_regwidth: top 3 bits of byte 1, plus 1."""
-    return sketches.map(lambda b: (bytes(b)[1] >> 5) + 1).astype("int32")
+    return sketches.map(
+        lambda b: None if b is None else (bytes(b)[1] >> 5) + 1
+    ).astype("Int32")
 
 
 @pandas_udf(StringType())
@@ -95,7 +101,9 @@ def hll_type_udf(sketches: pd.Series) -> pd.Series:
     """Storage format of each blob: EMPTY | EXPLICIT | SPARSE | FULL
     (the spec's algorithm nibble)."""
     return sketches.map(
-        lambda b: _ALG_NAMES.get(bytes(b)[0] & 0x0F, "UNDEFINED")
+        lambda b: None
+        if b is None
+        else _ALG_NAMES.get(bytes(b)[0] & 0x0F, "UNDEFINED")
     )
 
 
@@ -106,7 +114,9 @@ def hll_error_bound_udf(sketches: pd.Series) -> pd.Series:
     from ..config import HLLConfig
 
     return sketches.map(
-        lambda b: HLLConfig(
+        lambda b: None
+        if b is None
+        else HLLConfig(
             bytes(b)[1] & 0x1F, (bytes(b)[1] >> 5) + 1
         ).relative_error
     )
@@ -120,11 +130,14 @@ def hll_intersection_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
     return pd.Series(
         [
-            intersection_cardinality(
+            None
+            if x is None or y is None
+            else intersection_cardinality(
                 HLL.from_bytes(bytes(x)), HLL.from_bytes(bytes(y))
             )
             for x, y in zip(a, b)
-        ]
+        ],
+        dtype="float64",
     )
 
 
@@ -139,9 +152,12 @@ def hll_intersection_error_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
     return pd.Series(
         [
-            intersection_error(HLL.from_bytes(bytes(x)), HLL.from_bytes(bytes(y)))
+            None
+            if x is None or y is None
+            else intersection_error(HLL.from_bytes(bytes(x)), HLL.from_bytes(bytes(y)))
             for x, y in zip(a, b)
-        ]
+        ],
+        dtype="float64",
     )
 
 
@@ -151,6 +167,8 @@ def hll_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     the sketch-level mirror of the document-level dedup scorers."""
 
     def jac(x, y):
+        if x is None or y is None:
+            return None
         sa, sb = HLL.from_bytes(bytes(x)), HLL.from_bytes(bytes(y))
         nu = sa.clone().union(sb).algorithm_cardinality()
         if nu <= 0:

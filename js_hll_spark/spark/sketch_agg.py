@@ -425,28 +425,49 @@ def _heavy_hitters_grouped(
     cms_df = sketch_agg(
         src, _VAL, keys, kind="cms", params={"depth": depth, "width": width}
     )
-    hashed = cand.join(cms_df.select(*keys, "sketch"), keys).withColumn(
-        "__h", F.xxhash64("value")
+    # one candidates-row per group joins one sketch-row per group, so
+    # each group's CMS blob crosses the shuffle ONCE (a per-candidate
+    # equi-join duplicated the ~blob x candidates payload); eqNullSafe
+    # keeps a null-keyed group, which a plain key join silently drops
+    cand_g = (
+        cand.withColumn("__h", F.xxhash64("value"))
+        .groupBy(*keys)
+        .agg(F.collect_list(F.struct("value", "__h")).alias("__cands"))
+    )
+    sk_sel = cms_df.select(*keys, "sketch")
+    cond = None
+    for kcol in keys:
+        c = cand_g[kcol].eqNullSafe(sk_sel[kcol])
+        cond = c if cond is None else cond & c
+    joined = cand_g.join(sk_sel, cond).select(
+        *[cand_g[kcol] for kcol in keys], "__cands", "sketch"
+    )
+    score_schema = StructType(
+        key_fields
+        + [
+            StructField("value", StringType()),
+            StructField("est_count", LongType()),
+        ]
     )
 
-    def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        sk = CountMinSketch.from_bytes(bytes(pdf["sketch"].iloc[0]))
-        est = sk.query_hashed(to_uint64(pdf["__h"].to_numpy()))
-        out = {kcol: pdf[kcol] for kcol in keys}
-        out["value"] = pdf["value"]
-        out["est_count"] = est
-        return pd.DataFrame(out)
+    def score_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for i in range(len(pdf)):
+                sk = CountMinSketch.from_bytes(bytes(pdf["sketch"].iloc[i]))
+                cands = pdf["__cands"].iloc[i]
+                vals = [c["value"] for c in cands]
+                hs = to_uint64(
+                    np.array([c["__h"] for c in cands], dtype=np.int64)
+                )
+                est = sk.query_hashed(hs)
+                out = {
+                    kcol: [pdf[kcol].iloc[i]] * len(vals) for kcol in keys
+                }
+                out["value"] = vals
+                out["est_count"] = est
+                yield pd.DataFrame(out)
 
-    scored = hashed.groupBy(*keys).applyInPandas(
-        score_fn,
-        schema=StructType(
-            key_fields
-            + [
-                StructField("value", StringType()),
-                StructField("est_count", LongType()),
-            ]
-        ),
-    )
+    scored = joined.mapInPandas(score_stream, schema=score_schema)
     w = Window.partitionBy(*keys).orderBy(F.desc("est_count"), F.asc("value"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))

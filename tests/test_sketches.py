@@ -354,3 +354,17 @@ def test_grouped_heavy_hitters_adversarial_partitions(spark):
         for r in hh.filter("est_count >= 400").collect()
     }
     assert top == {"g0": ("HH_g0", 400), "g1": ("HH_g1", 400)}
+
+
+def test_grouped_heavy_hitters_keeps_null_group(spark):
+    """A null group key must surface in the output like any other group
+    (the candidate->sketch join is null-safe); counts stay exact at this
+    collision-free sizing."""
+    from js_hll_spark.spark.sketch_agg import heavy_hitters
+
+    rows = [("g1", "a")] * 5 + [("g1", "b")] * 2 + [(None, "x")] * 7 + [(None, "y")] * 3
+    df = spark.createDataFrame(rows, ["grp", "tok"]).repartition(4)
+    out = heavy_hitters(df, "tok", by=["grp"], k=2)
+    got = {(r["grp"], r["value"]): r["est_count"] for r in out.collect()}
+    assert got[(None, "x")] == 7 and got[(None, "y")] == 3
+    assert got[("g1", "a")] == 5 and got[("g1", "b")] == 2

@@ -584,3 +584,28 @@ def test_hll_hash_text_null_maps_to_null(spark):
         spark.sql(
             "SELECT hll_hash_bigint(x) AS h FROM VALUES (1L), (CAST(NULL AS LONG)) t(x)"
         ).collect()
+
+
+def test_scalar_udfs_null_blobs_return_null(spark):
+    """Every scalar sketch UDF maps a NULL blob to NULL instead of
+    crashing the pandas worker (SQL NULL-propagation convention; an
+    all-null group's hll_union_agg legitimately returns NULL and is then
+    fed to these)."""
+    from js_hll_spark.spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    row = spark.sql(
+        """SELECT hll_cardinality(CAST(NULL AS BINARY)) a,
+                  hll_to_hex(CAST(NULL AS BINARY)) b,
+                  hll_from_hex(CAST(NULL AS STRING)) c,
+                  hll_type(CAST(NULL AS BINARY)) d,
+                  hll_log2m(CAST(NULL AS BINARY)) e,
+                  hll_regwidth(CAST(NULL AS BINARY)) f,
+                  hll_schema_version(CAST(NULL AS BINARY)) g,
+                  hll_error_bound(CAST(NULL AS BINARY)) h,
+                  hll_intersection(CAST(NULL AS BINARY), CAST(NULL AS BINARY)) i,
+                  hll_intersection_error(CAST(NULL AS BINARY), CAST(NULL AS BINARY)) j,
+                  hll_jaccard(CAST(NULL AS BINARY), CAST(NULL AS BINARY)) k,
+                  hll_fold(CAST(NULL AS BINARY), 10) l"""
+    ).first()
+    assert all(row[c] is None for c in "abcdefghijkl")
