@@ -130,7 +130,14 @@ def decode(data: bytes) -> HLL:
         vals = np.frombuffer(body, dtype=">i8").astype(np.int64)
         uvals = vals.astype(np.uint64)
         # keep the exact set even if the stored count exceeds the declared
-        # threshold (decode must be able to represent what was written)
+        # threshold (decode must be able to represent what was written).
+        # Clear the mode containers __init__ allocated per the cutoff
+        # byte: a cutoff that disables explicit (js-hll always writes
+        # 0x00) made __init__ allocate _sparse/_regs, and leaving them
+        # set creates a dual-mode object whose storage_algorithm says
+        # SPARSE/FULL-of-zeros — silent data loss on re-encode or union
+        out._sparse = None
+        out._regs = None
         out._explicit = set(int(v) for v in uvals)
         out.explicit_threshold = max(out.explicit_threshold, len(out._explicit))
         return out
@@ -146,6 +153,7 @@ def decode(data: bytes) -> HLL:
         keep = val != 0
         idx, val = idx[keep], val[keep]
         out._explicit = None
+        out._regs = None  # see EXPLICIT branch: clear __init__'s container
         # last-write-wins on duplicate indexes (src/hll.js:693-696)
         out._sparse = dict(zip(idx.tolist(), val.tolist()))
         if len(out._sparse) > cfg.sparse_threshold:

@@ -167,9 +167,22 @@ def config_for(
     )
 
 
-def default_cutoff_byte(explicit_auto: bool = True, sparse_on: bool = True) -> int:
+def default_cutoff_byte(
+    explicit_auto: bool = True,
+    sparse_on: bool = True,
+    explicit_threshold: int | None = None,
+) -> int:
     """Faithful cutoff byte (unlike js-hll, which always writes 0, the
     cutoff byte here encodes real thresholds: 1 pad bit | 1 sparse-enabled
-    bit | 6-bit explicit cutoff code)."""
-    code = 63 if explicit_auto else 0
+    bit | 6-bit explicit cutoff code). A custom integer threshold encodes
+    as the smallest power-of-two code covering it (2^(code-1) >= t, the
+    spec's representable set — exact when t is itself a power of two), so
+    the threshold survives a serialize/decode round trip instead of
+    collapsing to 'explicit disabled'."""
+    if explicit_auto:
+        code = 63
+    elif not explicit_threshold:
+        code = 0
+    else:
+        code = min(62, max(1, (int(explicit_threshold) - 1).bit_length() + 1))
     return ((1 if sparse_on else 0) << 6) | code

@@ -76,6 +76,12 @@ class BloomFilter:
         if data[:4] != _MAGIC:
             raise ValueError("not a BLM1 blob")
         n_bits, n_hashes, n_items = struct.unpack_from("<iiq", data, 4)
+        expect = 20 + (n_bits + 7) // 8
+        if len(data) != expect:
+            raise ValueError(
+                f"truncated/oversized BLM1 blob: {len(data)} bytes, "
+                f"header declares {expect}"
+            )
         out = cls(n_bits, n_hashes)
         out.n_items = n_items
         out.bits = np.frombuffer(data, dtype=np.uint8, offset=20).copy()

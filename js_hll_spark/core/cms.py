@@ -85,6 +85,12 @@ class CountMinSketch:
         if data[:4] != _MAGIC:
             raise ValueError("not a CMS1 blob")
         depth, width, total = struct.unpack_from("<iiq", data, 4)
+        expect = 20 + depth * width * 8
+        if len(data) != expect:
+            raise ValueError(
+                f"truncated/oversized CMS1 blob: {len(data)} bytes, "
+                f"header declares {expect}"
+            )
         out = cls(depth, width)
         out.total = total
         out.table = (

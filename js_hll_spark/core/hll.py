@@ -165,7 +165,11 @@ class HLL:
         self.cutoff_byte = (
             cutoff_byte
             if cutoff_byte is not None
-            else default_cutoff_byte(explicit_auto=auto, sparse_on=sparse_on)
+            else default_cutoff_byte(
+                explicit_auto=auto,
+                sparse_on=sparse_on,
+                explicit_threshold=self.explicit_threshold,
+            )
         )
         self._explicit: set[int] | None = (
             set() if self.explicit_threshold > 0 else None
@@ -192,7 +196,10 @@ class HLL:
 
     @property
     def storage_algorithm(self) -> int:
-        """Algorithm code used when serializing (EMPTY when no content)."""
+        """Algorithm code used when serializing. Explicit/sparse modes
+        with no content write the 3-byte EMPTY form; a full-mode register
+        file serializes as FULL even when all zero — js-hll parity (its
+        encoder writes schema-1 FULL unconditionally, src/hll.js:436)."""
         if self._regs is not None:
             return ALG_FULL
         if self._sparse:
@@ -200,6 +207,17 @@ class HLL:
         if self._explicit:
             return ALG_EXPLICIT
         return ALG_EMPTY
+
+    def is_empty(self) -> bool:
+        """True when no value has been added (content-free in ANY mode,
+        including an all-zero full-mode register file)."""
+        if self._explicit:
+            return False
+        if self._sparse:
+            return False
+        if self._regs is not None:
+            return not self._regs.any()
+        return True
 
     def registers(self) -> np.ndarray:
         """Materialize a FULL register view without changing the mode."""
@@ -315,12 +333,20 @@ class HLL:
         building at the narrower width would have produced, since stored
         values are min(rho, maxreg)). ``strict=True`` restores throwing.
         """
+        if other.config != self.config and strict:
+            # the reference throws on shape mismatch regardless of
+            # content — keep that contract ahead of the identity check
+            raise ValueError(
+                f"union of mismatched configs {self.config} vs"
+                f" {other.config} (strict)"
+            )
+        # union with an empty sketch is the identity in EVERY mode
+        # (postgresql-hll lattice: EMPTY is the bottom element) — without
+        # this, EXPLICIT union empty-probabilistic would demote self and
+        # turn an exact count into an estimate
+        if other.is_empty():
+            return self
         if other.config != self.config:
-            if strict:
-                raise ValueError(
-                    f"union of mismatched configs {self.config} vs"
-                    f" {other.config} (strict)"
-                )
             return self._union_mismatched(other)
 
         # EXPLICIT x EXPLICIT stays exact (postgresql-hll semantics).
@@ -448,9 +474,14 @@ class HLL:
             return -cfg.two_to_l * math.log(x)
         return estimate_from_registers(self._regs, self.config)
 
-    def cardinality(self) -> int:
-        """ceil of the float estimate (src/hll.js:306-308)."""
-        return math.ceil(self.algorithm_cardinality())
+    def cardinality(self) -> int | float:
+        """ceil of the float estimate (src/hll.js:306-308). A saturated
+        sketch's NaN/inf estimate propagates unchanged — JS Math.ceil
+        passes NaN and Infinity through, where math.ceil would raise."""
+        est = self.algorithm_cardinality()
+        if math.isnan(est) or math.isinf(est):
+            return est
+        return math.ceil(est)
 
     def cardinality_error(self) -> float:
         return self.config.relative_error

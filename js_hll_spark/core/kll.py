@@ -113,7 +113,16 @@ class KLLSketch:
         return float(v[min(idx, v.size - 1)])
 
     def quantiles(self, qs: list[float]) -> list[float]:
-        return [self.quantile(q) for q in qs]
+        """All requested quantiles from ONE weighted sort + cumsum (a
+        per-q quantile() call would redo the O(S log S) sort per q)."""
+        if any(not 0.0 <= q <= 1.0 for q in qs):
+            raise ValueError("q in [0,1]")
+        v, w = self._weighted()
+        if v.size == 0:
+            return [float("nan")] * len(qs)
+        cum = np.cumsum(w)
+        idx = np.searchsorted(cum, np.asarray(qs) * cum[-1], side="left")
+        return [float(v[min(int(i), v.size - 1)]) for i in idx]
 
     def rank(self, value: float) -> float:
         """Approximate fraction of items <= value."""
@@ -147,10 +156,18 @@ class KLLSketch:
         out.levels = []
         pos = 4 + 24
         for _ in range(n_levels):
+            if pos + 4 > len(data):
+                raise ValueError("truncated KLL1 blob: level header past end")
             (sz,) = struct.unpack_from("<i", data, pos)
             pos += 4
+            if sz < 0 or pos + 8 * sz > len(data):
+                raise ValueError("truncated KLL1 blob: level body past end")
             out.levels.append(
                 np.frombuffer(data, dtype="<f8", count=sz, offset=pos).copy()
             )
             pos += 8 * sz
+        if pos != len(data):
+            raise ValueError(
+                f"oversized KLL1 blob: {len(data) - pos} trailing bytes"
+            )
         return out

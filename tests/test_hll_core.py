@@ -409,3 +409,80 @@ def test_sizing_table_reproduces_reference_readme():
     # 1.04/sqrt(2^9) = 0.0460 <= 0.05 < 1.04/sqrt(2^8) = 0.065
     assert config_for(rel_error=0.05).log2m == 9
     assert config_for(min_capacity=1e6).max_estimable_cardinality >= 1e6
+
+
+def test_decode_cutoff_disabled_explicit_roundtrip():
+    """An EXPLICIT blob whose cutoff byte disables explicit mode (js-hll
+    always writes 0x00) must decode into a PURE explicit object: the
+    old dual-mode corruption re-encoded as FULL-of-zeros and lost the
+    whole set."""
+    import numpy as np
+
+    from js_hll_spark.config import HLLConfig
+    from js_hll_spark.core.hll import ALG_EXPLICIT, HLL
+
+    s = HLL(HLLConfig(11, 5))
+    s.add_raw64(np.array([3, 9], dtype=np.uint64))
+    blob = bytearray(s.to_bytes())
+    blob[2] = 0x00  # the reference's constant cutoff byte
+    back = HLL.from_bytes(bytes(blob))
+    assert back.storage_algorithm == ALG_EXPLICIT
+    assert back._regs is None and back._sparse is None
+    again = HLL.from_bytes(back.to_bytes())
+    assert again.cardinality() == 2
+
+
+def test_cardinality_propagates_nan_like_js():
+    """A saturated regwidth-1 sketch's estimate is NaN/inf by reference
+    semantics; cardinality() must propagate it (JS Math.ceil(NaN) is
+    NaN), not raise ValueError/OverflowError."""
+    import math
+
+    import numpy as np
+
+    from js_hll_spark.config import HLLConfig
+    from js_hll_spark.core.hll import HLL
+
+    s = HLL(HLLConfig(4, 1), explicit_threshold=0, sparse_on=False)
+    s._regs = np.ones(16, dtype=np.uint8)
+    c = s.cardinality()
+    assert isinstance(c, float) and (math.isnan(c) or math.isinf(c))
+
+
+def test_custom_threshold_survives_roundtrip():
+    """A power-of-two explicit threshold encodes in the 6-bit cutoff
+    code and round-trips (it used to collapse to 'explicit disabled',
+    promoting out of EXPLICIT on the next add)."""
+    import numpy as np
+
+    from js_hll_spark.config import HLLConfig
+    from js_hll_spark.core.hll import HLL
+
+    s = HLL(HLLConfig(16, 5), explicit_threshold=4096)
+    s.add_raw64(np.arange(10, dtype=np.uint64) + 7)
+    back = HLL.from_bytes(s.to_bytes())
+    assert back.explicit_threshold == 4096
+    back.add_raw64(np.array([999_999], dtype=np.uint64))
+    assert back._explicit is not None and back.cardinality() == 11
+
+
+def test_union_with_empty_is_identity_in_every_mode():
+    """EXPLICIT union empty-probabilistic used to demote the exact set
+    to an estimate; EMPTY is the lattice bottom, union must be the
+    identity."""
+    import numpy as np
+
+    from js_hll_spark.config import HLLConfig
+    from js_hll_spark.core.hll import HLL
+
+    a = HLL(HLLConfig(13, 5))
+    a.add_raw64(np.arange(100, dtype=np.uint64) * 7919 + 1)
+    for empty in (
+        HLL(HLLConfig(13, 5), explicit_threshold=0),             # sparse mode
+        HLL(HLLConfig(13, 5), explicit_threshold=0, sparse_on=False),  # full zeros
+        HLL(HLLConfig(13, 5)),                                   # explicit
+    ):
+        before = bytes(a.to_bytes())
+        a.union(empty)
+        assert a._explicit is not None and a.cardinality() == 100
+        assert bytes(a.to_bytes()) == before

@@ -368,3 +368,37 @@ def test_grouped_heavy_hitters_keeps_null_group(spark):
     got = {(r["grp"], r["value"]): r["est_count"] for r in out.collect()}
     assert got[(None, "x")] == 7 and got[(None, "y")] == 3
     assert got[("g1", "a")] == 5 and got[("g1", "b")] == 2
+
+
+def test_companion_from_bytes_rejects_truncation():
+    """A truncated blob must fail loudly at decode time, not crash (or
+    silently mis-answer) at query/merge time."""
+    import numpy as np
+    import pytest
+
+    from js_hll_spark.core.bloom import BloomFilter
+    from js_hll_spark.core.cms import CountMinSketch
+    from js_hll_spark.core.kll import KLLSketch
+
+    b = BloomFilter(1 << 12, 5)
+    b.add_hashed(np.arange(100, dtype=np.uint64))
+    c = CountMinSketch(5, 256)
+    c.update_hashed(np.arange(100, dtype=np.uint64))
+    k = KLLSketch(64)
+    k.update(np.arange(500, dtype=np.float64))
+    for sk, cls in ((b, BloomFilter), (c, CountMinSketch), (k, KLLSketch)):
+        blob = sk.to_bytes()
+        assert cls.from_bytes(blob) is not None
+        with pytest.raises(ValueError):
+            cls.from_bytes(blob[: len(blob) - 7])
+
+
+def test_kll_batch_quantiles_match_single_calls(spark):
+    import numpy as np
+
+    from js_hll_spark.core.kll import KLLSketch
+
+    k = KLLSketch(128)
+    k.update(np.random.default_rng(0).normal(size=20_000))
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    assert k.quantiles(qs) == [k.quantile(q) for q in qs]
