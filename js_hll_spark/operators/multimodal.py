@@ -159,12 +159,12 @@ def image_features(
                 img = decode_image(bytes(blob), out_hw, fake=fake)
                 feats.append(img.mean(axis=(0, 1)).astype(np.float32).tolist())
             yield pd.DataFrame(
-                {"media_id": pdf[id_col], "features": feats}
+                {id_col: pdf[id_col], "features": feats}
             )
 
     schema = StructType(
         [
-            StructField("media_id", df.schema[id_col].dataType, False),
+            StructField(id_col, df.schema[id_col].dataType, False),
             StructField("features", ArrayType(FloatType()), False),
         ]
     )
@@ -264,6 +264,8 @@ def video_frame_features(
             for mid, blob in zip(pdf[id_col], pdf[blob_col]):
                 frames, (fn_, fd_) = decode_y4m(bytes(blob))
                 n = len(frames)
+                if n == 0:
+                    continue  # legal zero-frame stream: no rows
                 if every_ms is None:
                     idxs = range(n)
                 else:

@@ -28,7 +28,11 @@ LANG_MARKERS = {
 
 def tokens(col: str | Column = "text") -> Column:
     """Whitespace tokenization with normalization: lowercase, collapse
-    whitespace, strip. Stays in codegen."""
+    whitespace, strip. Stays in codegen. NOTE: empty/whitespace-only
+    text yields [''] (split-of-empty semantics, identical in DuckDB's
+    string_split — every oracle mirrors it), so token_count reports 1
+    for an empty document; filter empty docs upstream when that
+    matters."""
     c = F.col(col) if isinstance(col, str) else col
     return F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " ")
 
@@ -39,11 +43,16 @@ def token_count(col: str | Column = "text") -> Column:
 
 def char_ngrams(col: str | Column, n: int) -> Column:
     """All character n-grams of a string as an array (JVM-side via
-    sequence + transform — no UDF)."""
+    sequence + transform — no UDF). Strings shorter than n yield an
+    empty array (sequence(1, 0) would count DOWN and emit two phantom
+    grams; the floor-at-1 + length filter makes the short case empty)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0))),
-        lambda i: c.substr(i, F.lit(n)),
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+            lambda i: c.substr(i, F.lit(n)),
+        ),
+        lambda g: F.length(g) == n,
     )
 
 
@@ -60,8 +69,12 @@ def punct_ratio(col: str | Column = "text") -> Column:
 
 
 def quality_score(col: str | Column = "text") -> Column:
-    """Composite quality heuristic in [0, 1]: length band + stopword
-    presence − punctuation excess. Deterministic, SQL-expressible."""
+    """Composite quality heuristic in (-1, 1]: length band + stopword
+    presence − punctuation excess (an all-punctuation document scores
+    near -1 — the subtraction is deliberately unclamped so junk sorts
+    below empty). Deterministic, SQL-expressible; the DuckDB oracle
+    mirrors the exact formula, so the range must not be re-clamped on
+    one side only."""
     c = F.col(col) if isinstance(col, str) else col
     len_score = F.least(F.length(c) / F.lit(400.0), F.lit(1.0))
     return F.round(

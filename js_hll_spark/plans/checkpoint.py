@@ -86,25 +86,52 @@ class StageRunner:
             .agg(F.count(F.lit(1)).alias("rows"))
             .collect()
         )
+        def rel(uri: str) -> str:
+            # path RELATIVE to the stage dir, not the basename: with
+            # partition_by, files in different partition dirs from one
+            # write job share basenames (part-00000-<job>.c000...), and
+            # basenames would collide in the lineage
+            p = uri.split("://", 1)[-1] if "://" in uri else uri
+            p = p.split(":", 1)[-1] if p.startswith("file:") else p
+            marker = f"/stage={name}/"
+            return p.split(marker, 1)[1] if marker in p else os.path.basename(p)
+
         partitions = [
-            {"file": os.path.basename(r["file"]), "rows": r["rows"]}
-            for r in per_file
+            {"file": rel(r["file"]), "rows": r["rows"]} for r in per_file
         ]
         total_rows = sum(p["rows"] for p in partitions)
-        fingerprint = f"{name}:{total_rows}:{len(partitions)}"
+        total_bytes = sum(
+            os.path.getsize(os.path.join(dp, fn))
+            for dp, _, fns in os.walk(out_dir)
+            for fn in fns
+        )
+        completed_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        # fingerprint includes bytes AND the build timestamp: a stage
+        # REBUILD invalidates its downstream even when shape happens to
+        # match (make-style mtime chaining — shape-only fingerprints let
+        # stale stages skip after an upstream rebuild with equal
+        # row/file counts, the worst checkpoint failure mode)
+        fingerprint = (
+            f"{name}:{total_rows}:{len(partitions)}:{total_bytes}:{completed_at}"
+        )
         manifest = {
             "stage": name,
             "inputs": list(inputs),
             "input_fingerprints": {i: self._fingerprint(i) for i in inputs},
             "rows": total_rows,
             "n_files": len(partitions),
+            "bytes": total_bytes,
             "partitions": sorted(partitions, key=lambda p: p["file"]),
             "wall_seconds": round(wall, 3),
             "fingerprint": fingerprint,
-            "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "completed_at": completed_at,
         }
-        with open(self._manifest_path(name), "w") as f:
+        # atomic publish: a kill mid-dump must not leave truncated JSON
+        # that wedges every future resume
+        tmp = self._manifest_path(name) + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path(name))
         return out
 
     def invalidate(self, name: str) -> None:

@@ -90,7 +90,6 @@ _ALL_COLS = ("url", "warc_ts", "html", "text", "lang")
 def _make_batch(
     ids: np.ndarray,
     n_hosts: int,
-    n_rows: int,
     columns: tuple[str, ...] = _ALL_COLS,
 ) -> pd.DataFrame:
     """Generate the requested columns only — every column is a pure
@@ -118,7 +117,10 @@ def _make_batch(
             + pd.Series(canon).astype(str)
         )
     if "warc_ts" in cols:
-        # warc_ts: uniform over 30 days from 2026-01-01, whole seconds
+        # warc_ts: uniform over 30 days from 2026-01-01, whole seconds.
+        # Emitted tz-NAIVE and meant as UTC wall-clock: Spark interprets
+        # naive timestamps in spark.sql.session.timeZone, so sessions
+        # must pin UTC (get_spark does) or day boundaries shift
         base = np.int64(1767225600)  # 2026-01-01T00:00:00Z
         ts = base + (_stream(ids, 8) % _U(30 * 86400)).astype(np.int64)
         data["warc_ts"] = pd.to_datetime(ts, unit="s")
@@ -192,14 +194,14 @@ def webtext_table(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].to_numpy()
-            out = _make_batch(ids, n_hosts, n_rows, cols)
+            out = _make_batch(ids, n_hosts, cols)
             out.insert(0, "row_id", ids)
             yield out
 
     return rng.mapInPandas(gen, schema=schema)
 
 
-def exact_ndv_urls(spark: SparkSession, n_rows: int) -> int:
+def exact_ndv_urls(n_rows: int) -> int:
     """Ground truth NDV(url) by construction: distinct canonical ids."""
     ids = np.arange(n_rows, dtype=np.int64)
     is_dup = (_u01(ids, 1) < 0.20) & (ids > 0)

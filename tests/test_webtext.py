@@ -71,7 +71,7 @@ def test_ndv_url_within_bound(spark):
     from js_hll_spark.spark.agg import hll_ndv
 
     df = webtext_table(spark, N, partitions=8)
-    truth = exact_ndv_urls(spark, N)
+    truth = exact_ndv_urls(N)
     est = hll_ndv(df, "url", log2m=13).first()["ndv"]
     assert abs(est - truth) / truth < 3 * 1.04 / math.sqrt(2 ** 13)
 
@@ -81,7 +81,7 @@ def test_flagship_pipeline_and_resume(spark, tmp_path):
     pages = webtext_table(spark, 5000, partitions=4)
     out = webtext_ndv_pipeline(spark, pages, work, log2m=12)
 
-    truth = exact_ndv_urls(spark, 5000)
+    truth = exact_ndv_urls(5000)
     got = out["ndv_global"].first()["ndv"]
     assert abs(got - truth) / truth < 3 * 1.04 / math.sqrt(2 ** 12)
 
@@ -159,3 +159,44 @@ def test_column_subset_is_byte_identical(spark):
     a = sorted(map(tuple, full.collect()))
     b = sorted(map(tuple, subset.collect()))
     assert a == b
+
+
+def test_stage_rebuild_invalidates_downstream_same_shape(spark, tmp_path):
+    """Rebuilding an upstream stage must invalidate its downstream even
+    when the rebuilt output has the same row/file shape — shape-only
+    fingerprints let stale stages skip, the worst checkpoint failure."""
+    from js_hll_spark.plans.checkpoint import StageRunner
+
+    runner = StageRunner(spark, str(tmp_path))
+    calls = {"b": 0}
+
+    def build_a():
+        return spark.range(100).withColumnRenamed("id", "v")
+
+    def build_b():
+        calls["b"] += 1
+        return spark.read.parquet(str(tmp_path) + "/stage=a").groupBy().count()
+
+    runner.run("a", build_a)
+    runner.run("b", build_b, inputs=["a"])
+    assert calls["b"] == 1
+    # no invalidation: b resumes
+    runner.run("b", build_b, inputs=["a"])
+    assert calls["b"] == 1
+    # rebuild a with IDENTICAL shape: b must rebuild
+    runner.invalidate("a")
+    runner.run("a", build_a)
+    runner.run("b", build_b, inputs=["a"])
+    assert calls["b"] == 2
+
+
+def test_char_ngrams_short_strings_empty(spark):
+    """Strings shorter than n yield [] (sequence(1,0) used to count DOWN
+    and emit two phantom grams)."""
+    from pyspark.sql import functions as F
+
+    from js_hll_spark.operators.text import char_ngrams
+
+    df = spark.createDataFrame([("ab",), ("",), ("abcd",)], ["s"])
+    got = [r["g"] for r in df.select(char_ngrams("s", 3).alias("g")).collect()]
+    assert got == [[], [], ["abc", "bcd"]]
