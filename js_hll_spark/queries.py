@@ -52,8 +52,8 @@ def _ship(spark: SparkSession) -> None:
         spark._js_hll_shipped = True
 
 
-# The shared normalization both engines apply before tokenizing.
-_SPARK_NORM = lambda c: F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))  # noqa: E731
+# The DuckDB mirror of operators/text.tokens' normalization (the Spark
+# side lives there — keep the two in lockstep when changing either).
 _SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
@@ -885,21 +885,28 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
 
 
 def q_embedding_near_dups_exact(spark, sf_dir):
-    """Exact embedding near-dup pairs (cosine >= 0.5) — all-pairs on the
-    small embeddings table; the LSH-bucketed variant is the scale path."""
+    """Exact embedding near-dup pairs (cosine >= 0.3) — all-pairs on the
+    small embeddings table; the LSH-bucketed variant is the scale path.
+    The threshold filters the RAW cosine (rounding only the output
+    column, exactly as the oracle does) — filtering the rounded value
+    would admit pairs in [threshold - 5e-5, threshold) that DuckDB's
+    raw-valued WHERE drops."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     v = emb.select(F.col("vec_id").alias("__id"), F.col("embedding").alias("__v"))
     a, b = v.alias("a"), v.alias("b")
+    cos = ann.cosine(F.col("a.__v"), F.col("b.__v"))
     return (
         a.join(b, F.col("a.__id") < F.col("b.__id"))
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.round(ann.cosine(F.col("a.__v"), F.col("b.__v")), 4).alias("cos"),
+            F.round(cos, 4).alias("cos"),
+            (cos >= 0.3).alias("__keep"),
         )
-        .filter(F.col("cos") >= 0.3)
+        .filter(F.col("__keep"))
+        .drop("__keep")
     )
 
 
@@ -1059,7 +1066,12 @@ def q_hll_ndv_events_sliding(spark, sf_dir):
 SQL_NDV_SLIDING = """
 SELECT ws AS window_start, CAST(count(DISTINCT user_id) AS BIGINT) AS ndv
 FROM (
-  SELECT CAST(to_timestamp(floor(epoch(ts)/1800)*1800 - k*1800) AS TIMESTAMP) AS ws,
+  -- pure epoch arithmetic on the naive timestamp: to_timestamp would
+  -- produce TIMESTAMPTZ, and casting that back localizes through
+  -- DuckDB's session TimeZone — shifting every window on non-UTC hosts
+  SELECT ts - to_microseconds(
+           CAST(((epoch(ts) % 1800) + k*1800) * 1e6 AS BIGINT)
+         ) AS ws,
          user_id
   FROM events, range(0, 2) r(k)
 )

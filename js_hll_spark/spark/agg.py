@@ -171,6 +171,29 @@ def _make_partial_fn(
     return fn
 
 
+def _zero_partial_seed(spark, config: HLLConfig, schema: StructType) -> DataFrame:
+    """One zero-state partial row, built ON AN EXECUTOR via
+    spark.range(1) (Spark skips Python workers entirely for empty
+    relations, so a partial-fn-side fallback never runs; and a
+    driver-side literal would embed m bytes in the plan). Union it into
+    the global (no-keys) partials so an empty/all-null input still
+    yields one row with ndv 0 — countDistinct returns 0, not no rows."""
+    m = config.m
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for _ in batches:
+            pass
+        yield pd.DataFrame(
+            {
+                _PID_COL: [-1],
+                _SKETCH_COL: [np.zeros(m, dtype=np.uint8).tobytes()],
+                _ROWS_COL: [0],
+            }
+        )
+
+    return spark.range(1).mapInPandas(fn, schema=schema)
+
+
 def _make_merge_fn(
     keys: Sequence[str],
     config: HLLConfig,
@@ -250,6 +273,11 @@ def hll_sketch(
     sketches (exact hash sets below the auto threshold — the exactness
     tier, see hll_sketch_explicit). 'auto' picks by hash_method.
 
+    Float/double group keys: NaN and NULL conflate across the Arrow
+    boundary (both surface as NaN in pandas), so a NaN-keyed group
+    merges into the null group in the Python-side assembly — cast such
+    keys to string/int upstream if NaN must stay a distinct group.
+
     High-cardinality group keys: both engines carry O(keys x m) state —
     the sql engine in Catalyst's spill-capable HashAggregate, the python
     engine in a byte-budgeted dict that flushes. Prefer a smaller log2m
@@ -321,6 +349,15 @@ def hll_sketch(
         col = F.col(value_col)
         if dtype in ("tinyint", "smallint", "int", "bigint"):
             col = col.cast("long")
+        elif dtype not in ("string", "binary"):
+            # the AK convention hashes 8-byte ints or UTF-8 bytes; a
+            # float/decimal column would silently truncate through the
+            # int64 conversion (1.1 and 1.9 hash identically) — fail
+            # fast instead of estimating a wrong NDV
+            raise ValueError(
+                f"hash_method='murmur3' supports integral/string/binary "
+                f"value columns, got {dtype} — cast explicitly first"
+            )
         hashed = df.select(*keys, col.alias(_HASH_COL))
     elif hash_method == "raw":
         # filter after the cast: non-castable values yield NULL hashes
@@ -335,6 +372,10 @@ def hll_sketch(
         _make_partial_fn(keys, config, hash_in_python, memory_budget_bytes),
         schema=_partial_schema(key_fields),
     )
+    if not keys:
+        partials = partials.unionByName(
+            _zero_partial_seed(df.sparkSession, config, _partial_schema([]))
+        )
 
     if tree_fanin is None:
         # one intermediate merge level bounds the final task's fan-in when
@@ -427,6 +468,15 @@ def hll_sketch_explicit(
         col = F.col(value_col)
         if dtype in ("tinyint", "smallint", "int", "bigint"):
             col = col.cast("long")
+        elif dtype not in ("string", "binary"):
+            # the AK convention hashes 8-byte ints or UTF-8 bytes; a
+            # float/decimal column would silently truncate through the
+            # int64 conversion (1.1 and 1.9 hash identically) — fail
+            # fast instead of estimating a wrong NDV
+            raise ValueError(
+                f"hash_method='murmur3' supports integral/string/binary "
+                f"value columns, got {dtype} — cast explicitly first"
+            )
         hashed = df.select(*keys, col.alias(_HASH_COL))
         hash_in_python = True
     else:
@@ -481,7 +531,21 @@ def hll_sketch_explicit(
     # are two consumers, and without this the full scan + hash-set build
     # would execute twice (partials are one small row per key per
     # partition — cheap to pin)
-    partials = hashed.mapInPandas(fn, schema=schema).localCheckpoint()
+    partials = hashed.mapInPandas(fn, schema=schema)
+    if not keys:
+        # empty-input seed (see _zero_partial_seed): one EMPTY spec
+        # sketch built on an executor; union identity for real inputs
+        def seed_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for _ in batches:
+                pass
+            yield pd.DataFrame(
+                {_SKETCH_COL: [HLL(config).to_bytes()], _ROWS_COL: [0]}
+            )
+
+        partials = partials.unionByName(
+            df.sparkSession.range(1).mapInPandas(seed_fn, schema=schema)
+        )
+    partials = partials.localCheckpoint()
     merged = hll_rollup(partials, keys, estimate=estimate)
     if keys:
         rows_df = partials.groupBy(*keys).agg(F.sum(_ROWS_COL).alias(_ROWS_COL))
@@ -557,7 +621,12 @@ def hll_sketch_sql(
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         regs = np.zeros(config.m, dtype=np.uint8)
-        regs[pdf["__idx"].to_numpy()] = pdf["__val"].to_numpy()
+        # max-merge, not assignment: rows are unique per idx post-agg
+        # EXCEPT for the empty-input seed row (idx 0, val 0), which must
+        # never overwrite a real register
+        np.maximum.at(
+            regs, pdf["__idx"].to_numpy(), pdf["__val"].to_numpy()
+        )
         out = {k: [pdf[k].iloc[0]] for k in keys}
         if keep_sketch:
             s = HLL(config, explicit_threshold=0, sparse_on=False)
@@ -576,6 +645,15 @@ def hll_sketch_sql(
     fields.append(StructField(_ROWS_COL, LongType(), False))
     schema = StructType(fields)
     if not keys:
+        # seed one (idx 0, val 0, n 0) row: an empty/all-null input must
+        # still produce one global row with ndv 0 (countDistinct
+        # semantics) — regs[0] = max(·, 0) leaves real inputs untouched
+        seed = df.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("__idx"),
+            F.lit(0).alias("__val"),
+            F.lit(0).cast("long").alias("__n"),
+        )
+        per_register = per_register.unionByName(seed)
         return per_register.groupBy(F.lit(1).alias("__g")).applyInPandas(
             lambda pdf: assemble(pdf), schema=schema
         )

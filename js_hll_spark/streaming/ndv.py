@@ -86,23 +86,42 @@ def streaming_ndv(
         stream.withWatermark(ts_col, watermark) if watermark else stream
     )
 
+    applied_path = os.path.join(state_dir, "_applied_batch")
+
     def recover_state() -> None:
         # crash-safe swap recovery: a crash between rename(state -> old)
-        # and rename(tmp -> state) leaves only .old — restore it; stale
-        # .tmp* dirs from aborted writes are garbage either way
+        # and rename(tmp -> state) leaves only .old — restore it. A crash
+        # AFTER rename(tmp -> state) but before rmtree leaves BOTH: the
+        # orphaned .old must go, or every later swap's rename(state ->
+        # old) hits ENOTEMPTY and the stream wedges permanently. Stale
+        # .tmp* dirs from aborted writes are garbage either way.
         old = state_path + ".old"
         if not os.path.exists(state_path) and os.path.exists(old):
             os.rename(old, state_path)
+        elif os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
         parent = os.path.dirname(state_path)
         base = os.path.basename(state_path)
         for entry in os.listdir(parent) if os.path.isdir(parent) else ():
             if entry.startswith(base + ".tmp"):
                 shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
 
+    def _last_applied() -> int:
+        try:
+            with open(applied_path) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         recover_state()
+        if batch_id <= _last_applied():
+            # replay after a crash past the swap but before the offset
+            # commit: the union is idempotent on registers, but
+            # rows_seen sums — re-applying would inflate it permanently
+            return
         with_window = batch_df.withColumn(
             "window_start", F.window(ts_col, window).start
         )
@@ -119,14 +138,19 @@ def streaming_ndv(
             current = spark.read.parquet(state_path)
         merged = merge_sketch_tables(
             current, partials, ["window_start", *keys]
-        ).cache()
+        )
         tmp = state_path + f".tmp{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
-        merged.unpersist()
         old = state_path + ".old"
         if os.path.exists(state_path):
             os.rename(state_path, old)
         os.rename(tmp, state_path)
+        # record the applied batch atomically BEFORE dropping .old: a
+        # crash in between is recovered by recover_state's orphan sweep
+        marker_tmp = applied_path + ".tmp"
+        with open(marker_tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(marker_tmp, applied_path)
         shutil.rmtree(old, ignore_errors=True)
 
     return (
@@ -138,6 +162,21 @@ def streaming_ndv(
 
 
 def read_ndv_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Current per-window NDV estimates from the persisted sketch table."""
-    state = spark.read.parquet(os.path.join(state_dir, "state"))
-    return state.withColumn("ndv", hll_cardinality_udf("sketch")).drop("sketch")
+    """Current per-window NDV estimates from the persisted sketch table.
+    Retries across the swap's brief rename window (state momentarily
+    absent between the two renames) instead of surfacing a
+    file-not-found to a concurrent reader."""
+    import time as _time
+
+    path = os.path.join(state_dir, "state")
+    last: Exception | None = None
+    for _ in range(5):
+        try:
+            state = spark.read.parquet(path)
+            return state.withColumn(
+                "ndv", hll_cardinality_udf("sketch")
+            ).drop("sketch")
+        except Exception as e:  # path momentarily absent mid-swap
+            last = e
+            _time.sleep(0.1)
+    raise last

@@ -609,3 +609,32 @@ def test_scalar_udfs_null_blobs_return_null(spark):
                   hll_fold(CAST(NULL AS BINARY), 10) l"""
     ).first()
     assert all(row[c] is None for c in "abcdefghijkl")
+
+
+def test_global_ndv_empty_input_returns_zero_row(spark):
+    """countDistinct semantics: an empty or all-NULL input yields ONE
+    global row with ndv 0 in every engine (it used to return zero
+    rows, silently vanishing from downstream crossJoins)."""
+    import pyspark.sql.functions as F
+
+    empty = spark.range(10).select(
+        F.lit(None).cast("long").alias("v")
+    )
+    none_at_all = spark.range(0).select(F.col("id").alias("v"))
+    for df in (empty, none_at_all):
+        for engine in ("sql", "python", "explicit"):
+            rows = hll_sketch(df, "v", log2m=10, engine=engine).collect()
+            assert len(rows) == 1, engine
+            assert rows[0]["ndv"] == 0.0 and rows[0]["rows_seen"] == 0
+
+
+def test_murmur3_rejects_float_columns(spark):
+    """A double column would silently truncate through the int64 hash
+    path; the API fails fast instead."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    df = spark.range(10).select((F.col("id") * 1.5).alias("v"))
+    for engine in ("python", "explicit"):
+        with _pytest.raises(ValueError, match="integral/string/binary"):
+            hll_sketch(df, "v", hash_method="murmur3", engine=engine)
