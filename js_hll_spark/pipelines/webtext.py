@@ -17,6 +17,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators.text import tokens as text_tokens
 from ..plans.checkpoint import StageRunner
 from ..sources.webtext import WEBTEXT_SCHEMA, extract_text
 from ..spark.agg import hll_sketch
@@ -88,9 +89,10 @@ def webtext_ndv_pipeline(
     top_tokens = runner.run(
         "top_tokens",
         lambda: heavy_hitters(
-            staged_pages.select(
-                F.explode(F.split(F.lower("text"), " ")).alias("tok")
-            ),
+            # the shared, oracle-mirrored tokenizer (operators/text.tokens):
+            # an ad-hoc split(lower(text)) would emit '' tokens for any
+            # multi-space/newline text and pollute the top-k
+            staged_pages.select(F.explode(text_tokens("text")).alias("tok")),
             "tok",
             k=30,
             width=16384,

@@ -15,7 +15,14 @@ def package_zip() -> str:
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     root = os.path.dirname(pkg_dir)
     out = os.path.join(tempfile.gettempdir(), "js_hll_spark_pkg.zip")
-    with zipfile.ZipFile(out, "w") as zf:
+    # write-to-temp + atomic rename: two concurrent sessions (gate run
+    # beside a bench) would otherwise race ZipFile's in-place truncate
+    # against the other's addPyFile copy and ship a corrupt zip
+    fd, tmp = tempfile.mkstemp(
+        suffix=".zip", prefix="js_hll_spark_pkg.", dir=tempfile.gettempdir()
+    )
+    os.close(fd)
+    with zipfile.ZipFile(tmp, "w") as zf:
         for dirpath, _, filenames in os.walk(pkg_dir):
             if "__pycache__" in dirpath:
                 continue
@@ -23,6 +30,7 @@ def package_zip() -> str:
                 if fn.endswith(".py"):
                     full = os.path.join(dirpath, fn)
                     zf.write(full, os.path.relpath(full, root))
+    os.replace(tmp, out)
     return out
 
 

@@ -106,6 +106,11 @@ def sketch_agg(
     # input row to one row per distinct value — for Zipf token streams
     # that's a 10^4-10^6x cut in what crosses into Python, and the shuffle
     # moves only per-partition uniques (never worse than shipping rows).
+    # countDistinct-style null exclusion (the hll harness convention):
+    # xxhash64(NULL) returns the seed, so unfiltered NULLs would
+    # materialize as one phantom value (bloom: NULL probes report
+    # member; cms: phantom heavy hitter with the null count)
+    df = df.filter(F.col(value_col).isNotNull())
     pre_counted = kind == "cms" and params.get("pre_aggregate", True)
     if pre_counted:
         src = (
@@ -160,6 +165,11 @@ def sketch_agg(
                 if s is None:
                     s = acc[gk] = spec["factory"](params)
                     rows[gk] = 0
+                    if not sketch_size:
+                        # sample NOW, not at first flush — an unsampled
+                        # budget lets 4096 full sketches accumulate
+                        # (640 KB CMS x 4096 = 2.6 GB) before any check
+                        sketch_size.append(len(s.to_bytes()))
                 if pre_counted:
                     spec["update"](s, v[idx], cnt[idx])
                     rows[gk] += int(cnt[idx].sum())
@@ -167,9 +177,6 @@ def sketch_agg(
                     spec["update"](s, v[idx])
                     rows[gk] += len(idx)
             if sketch_size and len(acc) * sketch_size[0] > memory_budget_bytes:
-                yield flush()
-            elif not sketch_size and len(acc) > 4096:
-                # no size sample yet: bound key count until the first flush
                 yield flush()
         if acc:
             yield flush()
@@ -198,6 +205,23 @@ def sketch_agg(
         return partials.groupBy(*keys).applyInPandas(
             merge_fn, schema=StructType(out_fields)
         )
+
+    # empty-input seed (same contract as agg.py's _zero_partial_seed):
+    # Spark never invokes Python workers on empty relations, so without
+    # this an empty/all-null input returns zero rows instead of one
+    # empty-sketch row
+    def seed_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for _ in batches:
+            pass
+        yield pd.DataFrame(
+            {
+                "sketch": [spec["factory"](params).to_bytes()],
+                "rows_seen": [0],
+            }
+        )
+
+    seed = df.sparkSession.range(1).mapInPandas(seed_fn, schema=partial_schema)
+    partials = partials.unionByName(seed)
     return partials.groupBy(F.lit(1).alias("__g")).applyInPandas(
         lambda pdf: merge_fn(pdf), schema=StructType(out_fields)
     )
@@ -347,19 +371,25 @@ def heavy_hitters(
     cms_df = sketch_agg(src, _VAL, kind="cms", params={"depth": depth, "width": width})
     sketch_blob = cms_df.select("sketch")
 
-    # candidates are few (<= partitions * candidates_per_partition), so the
-    # single broadcast sketch blob + one scoring task is cheap; hashing the
-    # candidate strings stays JVM-side so probe positions match the build
-    hashed = cand.crossJoin(F.broadcast(sketch_blob)).withColumn(
-        "__h", F.xxhash64("value")
+    # collapse candidates to ONE row before meeting the blob — the same
+    # blob-crosses-once shape as the grouped path; a per-candidate
+    # crossJoin would duplicate the (depth x width x 8)-byte blob onto
+    # every one of the ~pool candidate rows through the final shuffle.
+    # Candidate strings hash JVM-side so probe positions match the build.
+    cand_g = cand.withColumn("__h", F.xxhash64("value")).agg(
+        F.collect_list(F.struct("value", "__h")).alias("__cands")
     )
+    joined = cand_g.crossJoin(sketch_blob)
 
     def score_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = CountMinSketch.from_bytes(bytes(pdf["sketch"].iloc[0]))
-        est = sk.query_hashed(to_uint64(pdf["__h"].to_numpy()))
-        return pd.DataFrame({"value": pdf["value"], "est_count": est})
+        cands = pdf["__cands"].iloc[0]
+        vals = [c["value"] for c in cands]
+        hs = to_uint64(np.array([c["__h"] for c in cands], dtype=np.int64))
+        est = sk.query_hashed(hs)
+        return pd.DataFrame({"value": vals, "est_count": est})
 
-    scored = hashed.groupBy(F.lit(1).alias("__g")).applyInPandas(
+    scored = joined.groupBy(F.lit(1).alias("__g")).applyInPandas(
         score_fn,
         schema=StructType(
             [StructField("value", StringType()), StructField("est_count", LongType())]

@@ -22,6 +22,12 @@ TABLES = (
 
 
 def canon(v):
+    # latent trap (mirrors the driver's pandas-based canonicalization,
+    # so it must stay): a DuckDB NULL in a numeric column surfaces as
+    # NaN through .df() and canonicalizes as 'NaN', while Spark's None
+    # canonicalizes as 'NULL' — an oracle that emits numeric NULLs would
+    # false-FAIL. No registered oracle emits NULL; if one ever must,
+    # COALESCE it on both sides.
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -57,6 +63,14 @@ def value_hash(cols, rows):
 def main(only=None):
     from js_hll_spark.queries import ORACLES, QUERIES
     from js_hll_spark.spark.session import get_spark
+
+    if only:
+        # a typo'd name must not let the gate print ALL OK after
+        # running nothing
+        unknown = set(only) - set(QUERIES)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 2
 
     spark = get_spark("oracle-compare", master="local[4]", shuffle_partitions=8)
     con = duckdb.connect()
