@@ -15,6 +15,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+# The driver's CORRECTNESS artifact covered exactly the first 50 registry
+# entries in rounds 2-3; mirror that budget so this gate reports which
+# entries would fall outside the driver's window.
+DRIVER_WINDOW = int(os.environ.get("SPARK_GRAFT_GATE_WINDOW", "50"))
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -145,6 +149,19 @@ def main(only=None):
                     )
                 )
     spark.stop()
+    names = list(QUERIES)
+    beyond = names[DRIVER_WINDOW:]
+    oracled_beyond = [n for n in beyond if n in ORACLES]
+    if beyond:
+        print(
+            f"\nbeyond driver window ({DRIVER_WINDOW} rows), "
+            f"skipped by the driver gate: {beyond}"
+        )
+    if oracled_beyond:
+        print(
+            "WARNING: ORACLED queries outside the driver window "
+            f"(reorder QUERIES!): {oracled_beyond}"
+        )
     print("\nFAILURES:" if failures else "\nALL OK", ", ".join(failures))
     return 1 if failures else 0
 
