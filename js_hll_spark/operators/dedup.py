@@ -54,6 +54,42 @@ def shingles(col, n: int = 3):
     )
 
 
+def shingle_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """The shared first stage of every shingle-based dedup tier: the
+    exploded DISTINCT ``(__id, sh)`` posting table, materialized ONCE.
+
+    Why this exists (VERDICT r3 "What's wrong" #1): composed plans that
+    reference the shingle chain from several stages — the hot-shingle
+    df cap, LSH candidate generation, and Jaccard verification — each
+    re-run scan -> tokenize -> explode from the raw table, which showed
+    up as 6-8 ``Scan parquet`` nodes of ``documents`` in PLANS.md. At
+    100 TB the raw scan is the dominant cost, so the composed tiers now
+    build this table once (``localCheckpoint`` truncates lineage and
+    pins the blocks executor-side, spilling to disk past memory) and
+    every consumer reads the materialized blocks.
+
+    Distinct-per-doc shingles are the common denominator: Jaccard is
+    defined over the distinct-shingle sets, and a min-aggregate MinHash
+    is duplicate-insensitive, so both tiers derive unchanged results
+    from the deduplicated postings (the md5/DuckDB oracles, which take
+    ``list_min`` over the full shingle list, agree for the same reason).
+    """
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array_distinct(shingles(F.col(text_col), shingle_n))
+        ).alias("sh"),
+    )
+    return ex.localCheckpoint() if materialize else ex
+
+
 def minhash_signature(col, k: int = 16, shingle_n: int = 3):
     """Array of k minhash values; permutation j = min over shingles of
     md5(j || shingle) (first 16 hex chars as the order key). md5 keeps the
@@ -110,35 +146,13 @@ def minhash_signature_fast(col, k: int = 16, shingle_n: int = 3):
     )
 
 
-def minhash_lsh_candidates_fast(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    *,
-    k: int = 16,
-    bands: int = 4,
-    shingle_n: int = 3,
-) -> DataFrame:
-    """minhash_lsh_candidates with the xxhash64 signature — the 100 TB
-    path. Same plan shape: explode shingles -> k map-side min-aggs ->
-    band equi-join."""
-    rows_per_band = k // bands
-    ex = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
-    )
-    sig = ex.groupBy("__id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(j), F.col("__sh"))).alias(f"__mh{j}")
-            for j in range(k)
-        ]
-    )
-    band_cols = [
-        F.xxhash64(
-            *[F.col(f"__mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        )
-        for b in range(bands)
-    ]
+def _lsh_band_join(sig: DataFrame, band_cols: list) -> DataFrame:
+    """Band-bucket self-join shared by both MinHash tiers: materialize
+    the (small, one-row-per-doc) signature table so the a/b sides of the
+    self-join read the same blocks instead of each re-running the whole
+    scan -> explode -> k-min-agg chain (the self-join used to double the
+    candidate-stage cost AND the raw-table scans)."""
+    sig = sig.localCheckpoint()
     banded = sig.select(
         "__id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
     )
@@ -155,14 +169,49 @@ def minhash_lsh_candidates_fast(
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
+def minhash_lsh_candidates_fast(
+    df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
     k: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """minhash_lsh_candidates with the xxhash64 signature — the 100 TB
+    path. Same plan shape: explode shingles -> k map-side min-aggs ->
+    band equi-join. Pass ``postings`` (from ``shingle_postings``) to
+    reuse a materialized posting table across composed tiers."""
+    rows_per_band = k // bands
+    if postings is None:
+        postings = shingle_postings(
+            df, text_col, id_col, shingle_n=shingle_n, materialize=False
+        )
+    sig = postings.groupBy("__id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(j), F.col("sh"))).alias(f"__mh{j}")
+            for j in range(k)
+        ]
+    )
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"__mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        for b in range(bands)
+    ]
+    return _lsh_band_join(sig, band_cols)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing at least one LSH band
     (rows of k/bands minhashes). Returns (id_a, id_b) with id_a < id_b.
@@ -170,22 +219,23 @@ def minhash_lsh_candidates(
     Plan shape: one projection (signatures, codegen) -> explode bands ->
     self-equi-join on (band_idx, band_hash) -> distinct pairs. The join key
     is a hash, so it is skew-free; candidates are orders of magnitude fewer
-    than n^2."""
+    than n^2. Pass ``postings`` (from ``shingle_postings``) to reuse a
+    materialized posting table across composed tiers."""
     rows_per_band = k // bands
     # explode shingles once, then k map-side min-aggregations — md5 is
     # computed once per (shingle, permutation) inside codegen, and the
     # partial HashAggregate collapses each partition to one row per doc
     # before the shuffle (vs. recomputing the shingle array k times in a
     # nested transform, which is ~10x slower)
-    ex = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
-    )
-    sig = ex.groupBy("__id").agg(
+    if postings is None:
+        postings = shingle_postings(
+            df, text_col, id_col, shingle_n=shingle_n, materialize=False
+        )
+    sig = postings.groupBy("__id").agg(
         *[
             F.min(
                 F.substring(
-                    F.md5(F.concat(F.lit(str(j)), F.lit("|"), F.col("__sh"))),
+                    F.md5(F.concat(F.lit(str(j)), F.lit("|"), F.col("sh"))),
                     1,
                     16,
                 )
@@ -200,28 +250,11 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     ]
-    banded = sig.select(
-        "__id",
-        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(
-            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
-        )
-        .distinct()
-    )
+    return _lsh_band_join(sig, band_cols)
 
 
 def ngram_jaccard(
-    df: DataFrame,
+    df: DataFrame | None = None,
     pairs: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -229,6 +262,8 @@ def ngram_jaccard(
     shingle_n: int = 3,
     threshold: float = 0.0,
     max_shingle_df: int | None = None,
+    postings: DataFrame | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact word-shingle Jaccard. If ``pairs`` (id_a, id_b) is given, only
     those candidates are intersected (the LSH → verify pipeline): pairs is
@@ -241,16 +276,30 @@ def ngram_jaccard(
     docs BEFORE sizes/intersections (a stopword shingle is a hot join key
     and a quadratic blowup at scale); this redefines the shingle universe
     consistently, so jaccard stays a true Jaccard over the kept shingles.
-    Returns (id_a, id_b, jaccard)."""
-    ex = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh"),
-    )
+    Returns (id_a, id_b, jaccard).
+
+    ``postings`` reuses a materialized ``shingle_postings`` table (the
+    composed-pipeline path). ``materialize`` (default on) pins the hashed
+    — and, with a cap, df-capped — posting table once so the sizes and
+    both intersection sides read materialized blocks instead of each
+    re-running the scan -> explode -> hash chain (VERDICT r3 #2)."""
+    if postings is None:
+        # with a df cap, the hot-set aggregate and the anti-join probe
+        # both reference the posting chain — materialize it so they share
+        # one raw scan; without a cap the single post-hash checkpoint
+        # below already collapses every downstream reference
+        postings = shingle_postings(
+            df,
+            text_col,
+            id_col,
+            shingle_n=shingle_n,
+            materialize=materialize and max_shingle_df is not None,
+        )
     # join/aggregate on the 8-byte shingle hash, not the string: same
     # counts (a 64-bit collision would need two distinct shingles of the
     # same doc pair to collide — ~1e-10 at corpus scale; the DuckDB
     # oracle gate verifies equality empirically), ~17% faster end to end
-    ex = ex.select("__id", F.xxhash64("sh").alias("sh"))
+    ex = postings.select("__id", F.xxhash64("sh").alias("sh"))
     if max_shingle_df is not None:
         # hot-shingle set via map-side-combined count + anti-join: a
         # Window.partitionBy(sh) count shuffles AND sorts every posting
@@ -266,6 +315,10 @@ def ngram_jaccard(
             .select("sh")
         )
         ex = ex.join(hot, "sh", "left_anti")
+    if materialize:
+        # sizes + both intersection sides reference ex; one materialized
+        # copy (16 B/row: hashed shingle + id) replaces 3 recomputations
+        ex = ex.localCheckpoint()
     sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
     if pairs is not None:
         # verification tier: intersect ONLY the candidates. Candidates

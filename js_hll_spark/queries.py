@@ -725,23 +725,26 @@ def q_dedup_pipeline(spark, sf_dir):
     DuckDB (md5 signatures + exact set math), so the whole pipeline is
     oracle-checked."""
     docs = _t_wide(spark, sf_dir, "documents")
-    cand = dedup.minhash_lsh_candidates(docs, k=8, bands=4, shingle_n=3)
-    return dedup.ngram_jaccard(
-        docs, pairs=cand, shingle_n=3, threshold=0.5
-    )
+    postings = dedup.shingle_postings(docs, shingle_n=3)
+    cand = dedup.minhash_lsh_candidates(postings=postings, k=8, bands=4)
+    return dedup.ngram_jaccard(pairs=cand, postings=postings, threshold=0.5)
 
 
 def q_dedup_pipeline_fast(spark, sf_dir):
     """The 100 TB near-dup pipeline end to end: xxhash64 MinHash-LSH
     candidates (pure codegen, no md5) -> candidates-first exact Jaccard
-    verify with the hot-shingle df cap -> pairs >= 0.5. Rows-only
+    verify with the hot-shingle df cap -> pairs >= 0.5. The shingle
+    posting table is materialized ONCE and shared by the candidate,
+    df-cap, and verify stages (one raw-table scan total — the composed
+    plan used to re-scan documents ~8x, VERDICT r3 #2). Rows-only
     (xxhash64 signatures are not DuckDB-reproducible); the md5 twin
     dedup_pipeline above is the oracle, and candidate-set quality of the
     fast tier vs the md5 tier is gated in pytest."""
     docs = _t_wide(spark, sf_dir, "documents")
-    cand = dedup.minhash_lsh_candidates_fast(docs, k=8, bands=4, shingle_n=3)
+    postings = dedup.shingle_postings(docs, shingle_n=3)
+    cand = dedup.minhash_lsh_candidates_fast(postings=postings, k=8, bands=4)
     return dedup.ngram_jaccard(
-        docs, pairs=cand, shingle_n=3, threshold=0.5, max_shingle_df=100
+        pairs=cand, postings=postings, threshold=0.5, max_shingle_df=100
     )
 
 
@@ -753,8 +756,9 @@ def q_dedup_clusters(spark, sf_dir):
     recursive CTE — the full pairs -> groups -> canonical-doc dedup
     semantics hash-checked end to end."""
     docs = _t_wide(spark, sf_dir, "documents")
-    cand = dedup.minhash_lsh_candidates(docs, k=8, bands=4, shingle_n=3)
-    pairs = dedup.ngram_jaccard(docs, pairs=cand, shingle_n=3, threshold=0.5)
+    postings = dedup.shingle_postings(docs, shingle_n=3)
+    cand = dedup.minhash_lsh_candidates(postings=postings, k=8, bands=4)
+    pairs = dedup.ngram_jaccard(pairs=cand, postings=postings, threshold=0.5)
     return dedup.connected_components(
         pairs, nodes=_t(spark, sf_dir, "documents").select("doc_id")
     )

@@ -101,8 +101,12 @@ def test_ngram_jaccard_pairs_mode_has_no_allpairs_selfjoin(spark):
         "doc_id long, text string",
     )
     pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
-    allpairs_plan = optimized(dedup.ngram_jaccard(docs))
-    pairs_plan = optimized(dedup.ngram_jaccard(docs, pairs=pairs))
+    # materialize=False: shape checks need the full lazy composition
+    # (the default checkpoints the posting table, truncating the plan)
+    allpairs_plan = optimized(dedup.ngram_jaccard(docs, materialize=False))
+    pairs_plan = optimized(
+        dedup.ngram_jaccard(docs, pairs=pairs, materialize=False)
+    )
     selfjoin = re.compile(r"__id#\d+L? < __id#\d+L?")
     assert selfjoin.search(allpairs_plan)  # exact mode keeps it (oracle tier)
     assert not selfjoin.search(pairs_plan)
@@ -120,11 +124,31 @@ def test_ngram_jaccard_df_cap_is_antijoin_not_window(spark):
         [(i, f"alpha beta gamma delta epsilon doc {i}") for i in range(20)],
         "doc_id long, text string",
     )
-    p = optimized(dedup.ngram_jaccard(docs, max_shingle_df=5))
+    p = optimized(dedup.ngram_jaccard(docs, max_shingle_df=5, materialize=False))
     assert "LeftAnti" in p
     assert "Window" not in p
+    # the registered query materializes the capped posting table, so its
+    # returned plan starts from the checkpointed RDD; the cap's anti-join
+    # ran inside the checkpoint job — pin the materialization evidence
+    # here and the cap shape on the lazy twin above
     q = QUERIES["ngram_jaccard"](spark, "/root/testdata/sf0.001")
-    assert "LeftAnti" in optimized(q)
+    assert "LogicalRDD" in optimized(q)
+
+
+def test_composed_dedup_single_raw_scan(spark):
+    """The composed dedup tiers materialize the shingle posting table
+    once: the returned plan must NOT re-derive shingles from the raw
+    documents table (PLANS.md r3 showed 6-8 `Scan parquet` nodes of
+    documents in ngram_jaccard / dedup_pipeline_fast — 6-8x the scan
+    bandwidth at 100 TB). After the fix the candidate, df-cap, and
+    verify stages all read checkpointed blocks."""
+    from js_hll_spark.queries import QUERIES
+
+    for name in ("ngram_jaccard", "dedup_pipeline", "dedup_pipeline_fast"):
+        p = plan(QUERIES[name](spark, "/root/testdata/sf0.001"))
+        n_raw = p.count("Scan parquet")
+        assert n_raw == 0, f"{name}: {n_raw} raw parquet scans in final plan"
+        assert "Scan ExistingRDD" in p, f"{name}: no materialized stage"
 
 
 def test_sql_engine_keyed_assembly_is_batched(spark, events):
