@@ -237,15 +237,7 @@ def ann_ivf(
     from pyspark.sql.types import LongType, StructField, StructType
     from pyspark.sql.window import Window
 
-    sample = np.array(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in vectors.select(vec_col)
-            .orderBy(F.col(id_col))
-            .limit(train_sample)
-            .collect()
-        ]
-    )
+    sample = _collect_train_sample(vectors, id_col, vec_col, train_sample)
     cent = _kmeans(sample, nlist, iters, seed=0)
     cent_t = cent.T.copy()  # (dim, nlist)
 
@@ -330,6 +322,29 @@ def ann_ivf(
     )
 
 
+def _collect_train_sample(
+    vectors: DataFrame, id_col: str, vec_col: str, train_sample: int
+) -> np.ndarray:
+    """Bounded deterministic training sample (first ``train_sample`` rows
+    by id) — the standard index-build step, one driver action amortized
+    over every query. Fails fast on an empty vectors table (an empty
+    sample would otherwise crash deep inside np.stack, ADVICE r3)."""
+    sample = np.array(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in vectors.select(vec_col)
+            .orderBy(F.col(id_col))
+            .limit(train_sample)
+            .collect()
+        ]
+    )
+    if sample.size == 0:
+        raise ValueError(
+            "ANN index training requires a non-empty vectors table"
+        )
+    return sample
+
+
 def _pq_train(
     sample: np.ndarray, m_sub: int, ksub: int, iters: int
 ) -> np.ndarray:
@@ -351,6 +366,69 @@ def _pq_train(
                     cent[j] = members.mean(axis=0)
         books[m] = cent
     return books
+
+
+def _pq_encode(
+    x: np.ndarray, books: np.ndarray, m_sub: int, dsub: int
+) -> np.ndarray:
+    """Nearest codeword per subspace for L2-normalized rows ``x``."""
+    xs = x.reshape(len(x), m_sub, dsub)
+    codes = np.empty((len(x), m_sub), dtype=np.int64)
+    for m in range(m_sub):
+        d = ((xs[:, m, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+        codes[:, m] = np.argmin(d, axis=1)
+    return codes
+
+
+def _query_luts_one_row(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    books: np.ndarray,
+    m_sub: int,
+    dsub: int,
+) -> DataFrame:
+    """Per-query ADC lookup tables, computed EXECUTOR-side (mapInPandas
+    over the query DataFrame — the driver never collects a query vector)
+    and collapsed to a single row of (query_id, lut) structs for a
+    one-row broadcast cross join. LUT[m, c] = dot(q_sub_m, codeword_mc):
+    exact per-subspace dots, so ADC error comes only from vector
+    quantization. An empty query table yields one row holding an empty
+    list, which scoring treats as no-op (empty result, declared schema
+    — the r3 ADVICE empty-input crash)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    lut_schema = StructType(
+        [
+            StructField("query_id", queries.schema[id_col].dataType, False),
+            StructField("__lut", ArrayType(DoubleType()), False),
+        ]
+    )
+
+    def lut_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qx = np.stack(pdf["__qv"].to_numpy()).astype(np.float64)
+            qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+            luts = np.einsum(
+                "qmd,mcd->qmc", qx.reshape(len(qx), m_sub, dsub), books
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "__lut": list(luts.reshape(len(qx), -1)),
+                }
+            )
+
+    q_luts = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).mapInPandas(lut_fn, schema=lut_schema)
+    return q_luts.agg(
+        F.collect_list(F.struct("query_id", "__lut")).alias("__q")
+    )
 
 
 def ann_pq(
@@ -378,34 +456,62 @@ def ann_pq(
     emits only its local top-k per query (map-side combine), so the
     final re-rank sees |queries| x k rows per partition, never vectors.
 
-    Training and the query set are bounded driver-side actions (the
-    standard PQ train step, same contract as ann_ivf's quantizer).
-    Returns (query_id, neighbor_id, adc, rank) — adc approximates the
-    cosine of normalized vectors; rank quality is carried by
-    recall_at_k in the registry."""
+    Training is the one bounded driver-side action (the standard PQ
+    train step, same contract as ann_ivf's quantizer). Queries stay a
+    DataFrame end to end (VERDICT r3 #4): per-query LUTs are computed
+    executor-side by a mapInPandas over the query table, collapsed to a
+    single broadcast row (the repo's one-row-blob pattern), and crossed
+    ONCE with batch-collapsed code blobs — so scoring still runs as a
+    numpy LUT scan with per-batch local top-k, and the driver never
+    materializes a query vector. Returns (query_id, neighbor_id, adc,
+    rank) — adc approximates the cosine of normalized vectors; rank
+    quality is carried by recall_at_k in the registry."""
     import pandas as pd
-    from pyspark.sql.types import DoubleType, StructField, StructType
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
     from pyspark.sql.window import Window
 
-    sample = np.array(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in vectors.select(vec_col)
-            .orderBy(F.col(id_col))
-            .limit(train_sample)
-            .collect()
-        ]
-    )
+    sample = _collect_train_sample(vectors, id_col, vec_col, train_sample)
     books = _pq_train(sample, m_sub, ksub, iters)
     dsub = dim // m_sub
+    code_dt = np.uint8 if ksub <= 256 else np.uint16
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    q_ids = [r[0] for r in q_rows]
-    qx = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
-    # LUT[q, m, c] = dot(q_sub_m, codeword_mc): exact per-subspace dots,
-    # so ADC error comes only from vector quantization
-    luts = np.einsum("qmd,mcd->qmc", qx.reshape(len(qx), m_sub, dsub), books)
+    q_one = _query_luts_one_row(
+        queries, id_col, vec_col, books=books, m_sub=m_sub, dsub=dsub
+    )
+
+    # ---- vector side: encode once, one compact blob row per Arrow batch
+    # (ids + m_sub bytes/vector — the 10^12-row scan reads codes, never
+    # vectors, and the cross join meets |batches| rows, not |vectors|)
+    enc_schema = StructType(
+        [
+            StructField("__ids", ArrayType(vectors.schema[id_col].dataType), False),
+            StructField("__codes", BinaryType(), False),
+        ]
+    )
+
+    def encode_blob(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["__vv"].to_numpy()).astype(np.float64)
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            codes = _pq_encode(x, books, m_sub, dsub).astype(code_dt)
+            yield pd.DataFrame(
+                {
+                    "__ids": [pdf["neighbor_id"].tolist()],
+                    "__codes": [codes.tobytes()],
+                }
+            )
+
+    v_blobs = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vv")
+    ).mapInPandas(encode_blob, schema=enc_schema)
 
     out_schema = StructType(
         [
@@ -416,41 +522,43 @@ def ann_pq(
     )
 
     def score_fn(batches):
+        rng = np.arange(m_sub)
         for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.stack(pdf["__vv"].to_numpy()).astype(np.float64)
-            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-            xs = x.reshape(len(x), m_sub, dsub)
-            # encode: nearest codeword per subspace
-            codes = np.empty((len(x), m_sub), dtype=np.int64)
-            for m in range(m_sub):
-                d = ((xs[:, m, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
-                codes[:, m] = np.argmin(d, axis=1)
-            ids = pdf["neighbor_id"].to_numpy()
-            parts = []
-            for qi, qid in enumerate(q_ids):
-                # ADC score = sum over subspaces of LUT[code]
-                s = luts[qi][np.arange(m_sub)[None, :], codes].sum(axis=1)
-                mask = ids != qid
-                # round BEFORE the local cut with the same (score desc,
-                # id asc) tie-break as the global window — an unrounded
-                # cut could drop a candidate that ties after rounding
-                # and would win on id, making output partition-dependent
-                sm, idm = np.round(s[mask], round_to), ids[mask]
-                top = np.lexsort((idm, -sm))[:k]
-                parts.append(
-                    pd.DataFrame(
-                        {"query_id": qid, "neighbor_id": idm[top], "adc": sm[top]}
-                    )
+            for _, row in pdf.iterrows():  # blob rows: one per input batch
+                qlist = row["__q"]
+                if qlist is None or not len(qlist):
+                    continue
+                ids = np.asarray(row["__ids"])
+                codes = (
+                    np.frombuffer(row["__codes"], dtype=code_dt)
+                    .reshape(-1, m_sub)
+                    .astype(np.int64)
                 )
-            if parts:
-                yield pd.concat(parts, ignore_index=True)
+                parts = []
+                for qrow in qlist:
+                    qid = qrow["query_id"]
+                    lut = np.asarray(qrow["__lut"]).reshape(m_sub, ksub)
+                    # ADC score = sum over subspaces of LUT[code]
+                    s = lut[rng[None, :], codes].sum(axis=1)
+                    mask = ids != qid
+                    # round BEFORE the local cut with the same (score
+                    # desc, id asc) tie-break as the global window — an
+                    # unrounded cut could drop a candidate that ties
+                    # after rounding and would win on id, making output
+                    # partition-dependent
+                    sm, idm = np.round(s[mask], round_to), ids[mask]
+                    top = np.lexsort((idm, -sm))[:k]
+                    parts.append(
+                        pd.DataFrame(
+                            {"query_id": qid, "neighbor_id": idm[top], "adc": sm[top]}
+                        )
+                    )
+                if parts:
+                    yield pd.concat(parts, ignore_index=True)
 
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vv")
+    scored = v_blobs.crossJoin(F.broadcast(q_one)).mapInPandas(
+        score_fn, schema=out_schema
     )
-    scored = v.mapInPandas(score_fn, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     return (
         scored.withColumn("adc", F.round("adc", round_to))
@@ -484,10 +592,18 @@ def ann_ivfpq(
     rows — m_sub bytes of payload per vector instead of 4*dim — and
     touches only the probed fraction of the table: both ANN scale levers
     at once (list pruning for compute, code compression for bytes).
+
+    Queries stay a DataFrame end to end (VERDICT r3 #4): probe lists AND
+    ADC LUTs are computed executor-side by one mapInPandas over the
+    query table; the probe pairs broadcast-join the encoded vectors, and
+    the LUTs reach scoring as a single collapsed broadcast row crossed
+    once with batch-collapsed candidate blobs. Empty query tables flow
+    through as empty results with the declared schema (r3 ADVICE crash).
     Returns (query_id, neighbor_id, adc, rank)."""
     import pandas as pd
     from pyspark.sql.types import (
         ArrayType,
+        BinaryType,
         DoubleType,
         IntegerType,
         LongType,
@@ -496,29 +612,47 @@ def ann_ivfpq(
     )
     from pyspark.sql.window import Window
 
-    sample = np.array(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in vectors.select(vec_col)
-            .orderBy(F.col(id_col))
-            .limit(train_sample)
-            .collect()
-        ]
-    )
+    sample = _collect_train_sample(vectors, id_col, vec_col, train_sample)
     cent = _kmeans(sample, nlist, iters, seed=0)
     cent_t = cent.T.copy()
     books = _pq_train(sample, m_sub, ksub, iters)
     dsub = dim // m_sub
+    code_dt = np.uint8 if ksub <= 256 else np.uint16
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    q_ids = [r[0] for r in q_rows]
-    qx = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
-    luts = np.einsum("qmd,mcd->qmc", qx.reshape(len(qx), m_sub, dsub), books)
-    q_probe = {
-        qid: np.argsort(-(q @ cent_t))[:nprobe].tolist()
-        for qid, q in zip(q_ids, qx)
-    }
+    # ---- query side: one executor pass derives probe lists and LUTs
+    q_schema = StructType(
+        [
+            StructField("query_id", queries.schema[id_col].dataType, False),
+            StructField("__lut", ArrayType(DoubleType()), False),
+            StructField("__lists", ArrayType(LongType()), False),
+        ]
+    )
+
+    def q_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qx = np.stack(pdf["__qv"].to_numpy()).astype(np.float64)
+            qx = qx / np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+            luts = np.einsum(
+                "qmd,mcd->qmc", qx.reshape(len(qx), m_sub, dsub), books
+            )
+            probes = np.argsort(-(qx @ cent_t), axis=1)[:, :nprobe].astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "__lut": list(luts.reshape(len(qx), -1)),
+                    "__lists": list(probes),
+                }
+            )
+
+    q_side = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).mapInPandas(q_fn, schema=q_schema)
+    q_lists = q_side.select("query_id", F.explode("__lists").alias("list_id"))
+    q_one = q_side.agg(
+        F.collect_list(F.struct("query_id", "__lut")).alias("__q")
+    )
 
     # one pass assigns the list AND encodes: only (id, list_id, codes)
     # leave this stage — vectors never shuffle
@@ -537,11 +671,7 @@ def ann_ivfpq(
             x = np.stack(pdf["__vv"].to_numpy()).astype(np.float64)
             x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
             lists = np.argmax(x @ cent_t, axis=1).astype(np.int64)
-            xs = x.reshape(len(x), m_sub, dsub)
-            codes = np.empty((len(x), m_sub), dtype=np.int32)
-            for m in range(m_sub):
-                d = ((xs[:, m, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
-                codes[:, m] = np.argmin(d, axis=1)
+            codes = _pq_encode(x, books, m_sub, dsub).astype(np.int32)
             yield pd.DataFrame(
                 {
                     "neighbor_id": pdf["neighbor_id"].to_numpy(),
@@ -554,17 +684,35 @@ def ann_ivfpq(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vv")
     ).mapInPandas(encode_fn, schema=enc_schema)
 
-    probe_rows = [
-        (qid, int(l)) for qid, ls in q_probe.items() for l in ls
-    ]
-    q_lists = queries.sparkSession.createDataFrame(
-        probe_rows, ["query_id", "list_id"]
-    )
-    cand = v.join(F.broadcast(q_lists), "list_id").filter(
-        F.col("query_id") != F.col("neighbor_id")
+    cand = (
+        v.join(F.broadcast(q_lists), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "codes")
     )
 
-    lut_by_qid = {qid: luts[i] for i, qid in enumerate(q_ids)}
+    # ---- scoring: collapse candidate batches to compact blob rows, then
+    # cross the one-row LUT table once (never a per-candidate LUT copy)
+    blob_schema = StructType(
+        [
+            StructField("__qids", ArrayType(queries.schema[id_col].dataType), False),
+            StructField("__nids", ArrayType(vectors.schema[id_col].dataType), False),
+            StructField("__codes", BinaryType(), False),
+        ]
+    )
+
+    def blobify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(code_dt)
+            yield pd.DataFrame(
+                {
+                    "__qids": [pdf["query_id"].tolist()],
+                    "__nids": [pdf["neighbor_id"].tolist()],
+                    "__codes": [codes.tobytes()],
+                }
+            )
+
     score_schema = StructType(
         [
             StructField("query_id", queries.schema[id_col].dataType, False),
@@ -576,23 +724,36 @@ def ann_ivfpq(
     def adc_fn(batches):
         rng = np.arange(m_sub)
         for pdf in batches:
-            if not len(pdf):
-                continue
-            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
-            out = np.empty(len(pdf))
-            qcol = pdf["query_id"].to_numpy()
-            for qid in pd.unique(qcol):
-                mask = qcol == qid
-                out[mask] = lut_by_qid[qid][rng[None, :], codes[mask]].sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    "query_id": qcol,
-                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
-                    "adc": out,
+            for _, row in pdf.iterrows():  # blob rows: one per input batch
+                qlist = row["__q"]
+                if qlist is None or not len(qlist):
+                    continue
+                lut_by_qid = {
+                    qr["query_id"]: np.asarray(qr["__lut"]).reshape(m_sub, ksub)
+                    for qr in qlist
                 }
-            )
+                qcol = np.asarray(row["__qids"])
+                nids = np.asarray(row["__nids"])
+                codes = (
+                    np.frombuffer(row["__codes"], dtype=code_dt)
+                    .reshape(-1, m_sub)
+                    .astype(np.int64)
+                )
+                out = np.empty(len(qcol))
+                for qid in pd.unique(qcol):
+                    mask = qcol == qid
+                    out[mask] = lut_by_qid[qid][rng[None, :], codes[mask]].sum(
+                        axis=1
+                    )
+                yield pd.DataFrame(
+                    {"query_id": qcol, "neighbor_id": nids, "adc": out}
+                )
 
-    scored = cand.mapInPandas(adc_fn, schema=score_schema)
+    scored = (
+        cand.mapInPandas(blobify, schema=blob_schema)
+        .crossJoin(F.broadcast(q_one))
+        .mapInPandas(adc_fn, schema=score_schema)
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     return (
         scored.withColumn("adc", F.round("adc", round_to))

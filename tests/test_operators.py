@@ -449,3 +449,27 @@ def test_connected_components_raises_on_nonconvergence(spark):
     # and converges fine when max_iter covers the diameter
     got = dedup.connected_components(pairs, max_iter=20)
     assert got.select("cluster_id").distinct().count() == 1
+
+
+def test_ann_pq_query_dataframe_contract(spark):
+    """r3 VERDICT #4 / ADVICE: queries are a DataFrame end to end — an
+    empty query table yields an empty result with the declared schema
+    (no driver-side createDataFrame-from-nothing crash), and an empty
+    vectors table fails fast with a clear error at index training."""
+    import pytest
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    )
+    no_queries = emb.filter(F.col("vec_id") < 0)
+    for fn, kw in (
+        (ann.ann_pq, dict(m_sub=16, ksub=256)),
+        (ann.ann_ivfpq, dict(nlist=8, nprobe=4, m_sub=16, ksub=256)),
+    ):
+        out = fn(emb, no_queries, k=5, dim=64, **kw)
+        assert out.columns == ["query_id", "neighbor_id", "adc", "rank"]
+        assert out.count() == 0
+    no_vectors = emb.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="non-empty vectors"):
+        ann.ann_pq(no_vectors, emb.limit(2), k=5, dim=64)
