@@ -152,19 +152,34 @@ def config_for(
     if rel_error is not None:
         while log2m < 30 and 1.04 / math.sqrt(2.0**log2m) > rel_error:
             log2m += 1
+        if 1.04 / math.sqrt(2.0**log2m) > rel_error:
+            # silently returning log2m=30 would hand back a config that
+            # misses the stated target with no signal (ADVICE r3)
+            raise ValueError(
+                f"rel_error={rel_error:g} unreachable: log2m=30 floors at "
+                f"{1.04 / math.sqrt(2.0 ** 30):.3g}"
+            )
     if min_capacity is None:
         # no capacity target: the reference default regwidth, not the
         # smallest — regwidth=1 caps estimates at ~0.72*m, which would
         # silently clamp any set larger than the register count
         return HLLConfig(log2m, 5)
-    for rw in range(1, 9):
-        cfg = HLLConfig(log2m, rw)
-        if cfg.max_estimable_cardinality >= min_capacity:
-            return cfg
-    raise ValueError(
-        f"min_capacity={min_capacity:g} unreachable at log2m={log2m} even "
-        "with regwidth=8; lower the capacity target or the error target"
-    )
+    while True:
+        for rw in range(1, 9):
+            cfg = HLLConfig(log2m, rw)
+            if cfg.max_estimable_cardinality >= min_capacity:
+                return cfg
+        if log2m < 30:
+            # growing m grows capacity AND tightens error, so it never
+            # violates a given rel_error target — prefer a larger
+            # register file over failing (ADVICE r3: the capacity-only
+            # path used to stay pinned at log2m=4)
+            log2m += 1
+            continue
+        raise ValueError(
+            f"min_capacity={min_capacity:g} unreachable even at "
+            "log2m=30/regwidth=8; lower the capacity target"
+        )
 
 
 def default_cutoff_byte(

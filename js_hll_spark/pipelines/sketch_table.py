@@ -20,11 +20,57 @@ read-modify-write of the whole table).
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from ..hashing import DEFAULT_SEED
 from ..spark.agg import hll_rollup, hll_sketch
+
+_META = "_meta.json"
+
+
+def _sketch_meta(sketch_kw: dict) -> dict:
+    """The hashing/config convention a stored sketch table was built
+    with. The AK storage format does NOT record the hash function or
+    seed, so two tables hashed differently union silently into garbage
+    NDV — no config-mismatch error can fire (ADVICE r3). Persisting the
+    convention beside the table makes the mismatch detectable."""
+    method = sketch_kw.get("hash_method", "xxhash64")
+    return {
+        "hash_method": method,
+        # murmur3 runs with the library seed constant; xxhash64 is
+        # Spark's fixed-seed builtin; 'raw' means the caller hashed
+        "hash_seed": DEFAULT_SEED if method == "murmur3" else None,
+        "log2m": sketch_kw.get("log2m", 13),
+        "regwidth": sketch_kw.get("regwidth", 5),
+    }
+
+
+def _check_and_write_meta(path: str, sketch_kw: dict) -> None:
+    """Refuse to merge/update a stored table under a different hashing
+    convention; (re)write the manifest atomically otherwise."""
+    meta = _sketch_meta(sketch_kw)
+    meta_path = os.path.join(path, _META)
+    try:
+        with open(meta_path) as f:
+            existing = json.load(f)
+    except (OSError, ValueError):
+        existing = None
+    if existing is not None and existing != meta:
+        raise ValueError(
+            f"sketch table at {path} was built with {existing}, but this "
+            f"batch declares {meta} — unioning sketches across hash "
+            "conventions produces silent garbage; rebuild the table or "
+            "match its convention"
+        )
+    os.makedirs(path, exist_ok=True)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
 
 
 def build_sketch_table(
@@ -44,6 +90,9 @@ def build_sketch_table(
         df, value_col, by=[partition_col, *by], estimate=False, **sketch_kw
     )
     sk.write.mode(mode).partitionBy(partition_col).parquet(path)
+    # after the write: a full overwrite replaces the directory, manifest
+    # included
+    _check_and_write_meta(path, sketch_kw)
 
 
 def update_sketch_table(
@@ -60,6 +109,7 @@ def update_sketch_table(
     same batch is idempotent; partitions not present in ``df`` are
     untouched. The batch must carry whole partitions — sketch rows
     replace, not merge, because a stored sketch cannot be un-unioned."""
+    _check_and_write_meta(path, sketch_kw)
     sk = hll_sketch(
         df, value_col, by=[partition_col, *by], estimate=False, **sketch_kw
     )
@@ -93,6 +143,7 @@ def merge_into_sketch_table(
 
     from ..streaming.ndv import merge_sketch_tables
 
+    _check_and_write_meta(path, sketch_kw)
     new = hll_sketch(
         df, value_col, by=[partition_col, *by], estimate=False, **sketch_kw
     )

@@ -135,13 +135,26 @@ def sketch_agg(
     def partial_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[tuple, object] = {}
         rows: dict[tuple, int] = {}
-        sketch_size: list[int] = []  # measured from the first to_bytes
+        sketch_size: list[int] = []  # max serialized size observed so far
+        # Variable-size kinds (kll/tdigest) serialize tiny while empty
+        # (KLL 32 B empty vs ~2.5 KB populated), so a budget fed only by
+        # the at-creation sample under-counts state by 35-80x (ADVICE
+        # r3). Until a flush has measured POPULATED blobs, a hard key
+        # cap bounds the worst case; each flush then re-samples, keeping
+        # the byte budget honest as sketches grow.
+        measured_populated: list[bool] = []
+        key_cap = 4096
 
         def flush() -> pd.DataFrame:
             out = {k: [gk[i] for gk in acc] for i, k in enumerate(keys)}
             blobs = [s.to_bytes() for s in acc.values()]
-            if not sketch_size and blobs:
-                sketch_size.append(len(blobs[0]))
+            if blobs:
+                sz = max(len(b) for b in blobs)
+                if not sketch_size:
+                    sketch_size.append(sz)
+                else:
+                    sketch_size[0] = max(sketch_size[0], sz)
+                measured_populated.append(True)
             out["sketch"] = blobs
             out["rows_seen"] = [rows[gk] for gk in acc]
             acc.clear()
@@ -176,7 +189,12 @@ def sketch_agg(
                 else:
                     spec["update"](s, v[idx])
                     rows[gk] += len(idx)
-            if sketch_size and len(acc) * sketch_size[0] > memory_budget_bytes:
+            over_budget = (
+                sketch_size and len(acc) * sketch_size[0] > memory_budget_bytes
+            )
+            if over_budget or (
+                not measured_populated and len(acc) >= key_cap
+            ):
                 yield flush()
         if acc:
             yield flush()

@@ -86,7 +86,14 @@ def streaming_ndv(
         stream.withWatermark(ts_col, watermark) if watermark else stream
     )
 
-    applied_path = os.path.join(state_dir, "_applied_batch")
+    # replay marker lives INSIDE the state dir (Spark hides underscore
+    # files from parquet file listings), so it swaps atomically WITH the
+    # state: a crash between rename(tmp -> state) and a separate marker
+    # write used to double-apply the batch on restart, permanently
+    # inflating rows_seen (ADVICE r3 — exactly the failure mode the
+    # marker exists to prevent; ndv itself stayed correct since register
+    # union is idempotent)
+    marker_name = "_applied_batch"
 
     def recover_state() -> None:
         # crash-safe swap recovery: a crash between rename(state -> old)
@@ -108,7 +115,7 @@ def streaming_ndv(
 
     def _last_applied() -> int:
         try:
-            with open(applied_path) as f:
+            with open(os.path.join(state_path, marker_name)) as f:
                 return int(f.read().strip())
         except (OSError, ValueError):
             return -1
@@ -141,16 +148,15 @@ def streaming_ndv(
         )
         tmp = state_path + f".tmp{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
+        # marker goes into tmp BEFORE the swap — rename(tmp -> state) is
+        # then atomic for state AND marker together; no crash point can
+        # leave new state without its batch id
+        with open(os.path.join(tmp, marker_name), "w") as f:
+            f.write(str(batch_id))
         old = state_path + ".old"
         if os.path.exists(state_path):
             os.rename(state_path, old)
         os.rename(tmp, state_path)
-        # record the applied batch atomically BEFORE dropping .old: a
-        # crash in between is recovered by recover_state's orphan sweep
-        marker_tmp = applied_path + ".tmp"
-        with open(marker_tmp, "w") as f:
-            f.write(str(batch_id))
-        os.replace(marker_tmp, applied_path)
         shutil.rmtree(old, ignore_errors=True)
 
     return (

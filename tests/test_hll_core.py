@@ -409,6 +409,18 @@ def test_sizing_table_reproduces_reference_readme():
     # 1.04/sqrt(2^9) = 0.0460 <= 0.05 < 1.04/sqrt(2^8) = 0.065
     assert config_for(rel_error=0.05).log2m == 9
     assert config_for(min_capacity=1e6).max_estimable_cardinality >= 1e6
+    # capacity-only targets are always met (capacity grows doubly-
+    # exponentially in regwidth, so even log2m=4 reaches 1e15 at rw=6;
+    # the log2m-growth fallback exists for any sizing the rw ladder
+    # cannot cover)
+    big = config_for(min_capacity=1e15)
+    assert big.max_estimable_cardinality >= 1e15
+    # ADVICE r3: an unreachable error target raises instead of handing
+    # back a log2m=30 config that misses it silently
+    import pytest
+
+    with pytest.raises(ValueError, match="unreachable"):
+        config_for(rel_error=1e-6)
 
 
 def test_decode_cutoff_disabled_explicit_roundtrip():

@@ -174,3 +174,37 @@ def test_stream_into_sketch_table(spark, documents, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_hash_convention_manifest(spark, documents, tmp_path):
+    """ADVICE r3: the AK format does not record the hash function/seed,
+    so a table merged under a different hashing convention would union
+    into silent garbage. The table writes its convention to _meta.json
+    and refuses a mismatched merge/update loudly."""
+    import json
+    import os
+
+    import pytest
+
+    path = str(tmp_path / "meta_sk")
+    _build(documents, path)
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    assert meta["hash_method"] == "xxhash64" and meta["log2m"] == 13
+    # same convention: fine (idempotent)
+    sketch_table.merge_into_sketch_table(
+        documents.limit(50), "text", path,
+        partition_col="source", by=["lang"], log2m=13,
+    )
+    # different log2m: refused before any write
+    with pytest.raises(ValueError, match="hash conventions"):
+        sketch_table.merge_into_sketch_table(
+            documents.limit(50), "text", path,
+            partition_col="source", by=["lang"], log2m=12,
+        )
+    with pytest.raises(ValueError, match="hash conventions"):
+        sketch_table.update_sketch_table(
+            documents.limit(50), "text", path,
+            partition_col="source", by=["lang"], log2m=13,
+            hash_method="murmur3",
+        )

@@ -402,3 +402,31 @@ def test_kll_batch_quantiles_match_single_calls(spark):
     k.update(np.random.default_rng(0).normal(size=20_000))
     qs = [0.01, 0.25, 0.5, 0.75, 0.99]
     assert k.quantiles(qs) == [k.quantile(q) for q in qs]
+
+
+def test_sketch_agg_key_cap_flush_kll(spark):
+    """ADVICE r3 (medium): variable-size kinds (kll/tdigest) serialize
+    tiny while empty, so the byte budget alone lets a high-cardinality
+    `by` accumulate unbounded state before the first flush. The key cap
+    must force partial flushes mid-partition, and re-merged duplicate
+    key rows (second occurrence lands after the cap flush) must still
+    produce exact uncompacted quantiles."""
+    n_keys = 6000  # > the 4096 pre-measurement key cap
+    base = spark.range(n_keys).select(
+        F.concat(F.lit("k"), F.col("id")).alias("g"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    # each key twice: occurrences 1..n then 1..n again, one partition ->
+    # the cap flush lands between a key's two occurrences
+    df = base.union(
+        base.withColumn("v", F.col("v") + 1.0)
+    ).coalesce(1)
+    out = approx_quantiles(
+        df, "v", by=["g"], qs=(0.5,), method="kll", params={"k": 64}
+    )
+    rows = {r["g"]: r["q50"] for r in out.collect()}
+    assert len(rows) == n_keys
+    # uncompacted KLL of 2 items: q50 = nearest-rank item 1 = min(v, v+1)
+    for g, q in list(rows.items())[:50]:
+        i = int(g[1:])
+        assert q == float(i % 97), (g, q)

@@ -284,3 +284,50 @@ def test_stateful_streaming_heavy_hitters_eviction_invariant(spark, tmp_path):
     assert final_rows[0]["tok"] == "hot" and final_rows[0]["n"] >= 300
     for r in final_rows:
         assert r["n"] >= int(true_counts.get(r["tok"], 0))
+
+
+def test_replay_marker_travels_with_state(spark, events, tmp_path):
+    """ADVICE r3: the applied-batch marker must swap atomically WITH the
+    state (it is written into the tmp state dir before the rename), so a
+    replayed batch can never double-apply and inflate rows_seen. A full
+    replay of the same data from a fresh checkpoint (every batch id <=
+    the marker) must leave both NDV and rows_seen untouched."""
+    import os
+
+    src_dir = str(tmp_path / "replay_src")
+    state_dir = str(tmp_path / "replay_state")
+    ev = events.limit(2000)
+    ev.coalesce(1).write.parquet(src_dir)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        q = streaming_ndv(
+            stream,
+            "user_id",
+            ts_col="ts",
+            window="6 hours",
+            state_dir=state_dir,
+            watermark=None,
+            log2m=12,
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run("ck_a")
+    state_path = os.path.join(state_dir, "state")
+    assert os.path.exists(os.path.join(state_path, "_applied_batch"))
+    before = sorted(
+        (r["window_start"], r["ndv"], r["rows_seen"])
+        for r in read_ndv_state(spark, state_dir).collect()
+    )
+    run("ck_b")  # full replay, fresh checkpoint: batch ids restart at 0
+    after = sorted(
+        (r["window_start"], r["ndv"], r["rows_seen"])
+        for r in read_ndv_state(spark, state_dir).collect()
+    )
+    assert after == before
