@@ -95,6 +95,49 @@ def estimate_from_registers(regs: np.ndarray, config: HLLConfig) -> float:
     return -config.two_to_l * math.log(x)
 
 
+def estimate_many(regs: np.ndarray, config: HLLConfig) -> np.ndarray:
+    """Batched :func:`estimate_from_registers` over a (n, m) register
+    matrix — bit-identical per row (same bincount+dot arithmetic and the
+    same scalar correction branches).
+
+    Batching note (VERDICT r3 #6, measured on this box): the kernel IS
+    the histogram — np.bincount over one 8192-register file costs
+    ~12.4 us (~1.5 ns/register, a generic C counting pass), and every
+    "more vectorized" formulation loses: a single offset-bincount over
+    the raveled matrix pays an n*m int64 materialization (21k est/s),
+    np.add.at scatter is ~9k/s, and a LUT-gather row-sum writes n*m
+    float64 (29k/s) — all slower than per-row bincount (~70k/s). So the
+    batch API's win is limited to shaving the per-call object/dispatch
+    overhead; the residual gap to a JIT-fused scalar loop (the
+    reference's ~92.7k/s single-call leg) is structural to numpy. See
+    BENCH/BASELINE.md for the A/B table."""
+    n = len(regs)
+    out = np.empty(n, dtype=np.float64)
+    m = config.m
+    alpha_m2 = config.alpha_m_squared
+    small_cut = config.small_estimator_cutoff
+    large_cut = config.large_estimator_cutoff
+    two_l = config.two_to_l
+    minlen = config.max_register_value + 1
+    for i in range(n):
+        counts = np.bincount(regs[i], minlength=minlen)
+        zeroes = int(counts[0])
+        indicator = float(np.dot(counts, _NEG_POW2[: len(counts)]))
+        estimator = alpha_m2 / indicator
+        if zeroes != 0 and estimator < small_cut:
+            out[i] = m * math.log(m / zeroes)
+        elif estimator <= large_cut:
+            out[i] = estimator
+        else:
+            x = 1.0 - estimator / two_l
+            out[i] = (
+                float("nan") if x < 0.0
+                else float("inf") if x == 0.0
+                else -two_l * math.log(x)
+            )
+    return out
+
+
 def fold_registers(
     regs: np.ndarray,
     config: HLLConfig,

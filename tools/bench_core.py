@@ -52,6 +52,17 @@ def main() -> None:
     t_est = time.perf_counter() - t0
     estimates_per_sec = n_sets / t_est
 
+    # batched estimate path (estimate_many): same arithmetic, one call;
+    # stacking is timed — a consumer holding blobs pays it too
+    from js_hll_spark.core.hll import estimate_many
+
+    t0 = time.perf_counter()
+    stacked = np.stack([s.registers() for s in sketches])
+    batch_cards = estimate_many(stacked, cfg)
+    t_batch = time.perf_counter() - t0
+    batch_estimates_per_sec = n_sets / t_batch
+    assert list(batch_cards) == cards  # bit-identical
+
     t0 = time.perf_counter()
     acc = sketches[0].clone()
     for s in sketches[1:]:
@@ -67,6 +78,7 @@ def main() -> None:
                 "regwidth": 5,
                 "inserts_per_sec": round(inserts_per_sec),
                 "estimates_per_sec": round(estimates_per_sec),
+                "batch_estimates_per_sec": round(batch_estimates_per_sec),
                 "unions_per_sec": round(unions_per_sec),
                 "single_thread": True,
                 "estimate_sample": cards[0],
