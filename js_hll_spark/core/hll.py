@@ -110,32 +110,14 @@ def estimate_many(regs: np.ndarray, config: HLLConfig) -> np.ndarray:
     batch API's win is limited to shaving the per-call object/dispatch
     overhead; the residual gap to a JIT-fused scalar loop (the
     reference's ~92.7k/s single-call leg) is structural to numpy. See
-    BENCH/BASELINE.md for the A/B table."""
-    n = len(regs)
-    out = np.empty(n, dtype=np.float64)
-    m = config.m
-    alpha_m2 = config.alpha_m_squared
-    small_cut = config.small_estimator_cutoff
-    large_cut = config.large_estimator_cutoff
-    two_l = config.two_to_l
-    minlen = config.max_register_value + 1
-    for i in range(n):
-        counts = np.bincount(regs[i], minlength=minlen)
-        zeroes = int(counts[0])
-        indicator = float(np.dot(counts, _NEG_POW2[: len(counts)]))
-        estimator = alpha_m2 / indicator
-        if zeroes != 0 and estimator < small_cut:
-            out[i] = m * math.log(m / zeroes)
-        elif estimator <= large_cut:
-            out[i] = estimator
-        else:
-            x = 1.0 - estimator / two_l
-            out[i] = (
-                float("nan") if x < 0.0
-                else float("inf") if x == 0.0
-                else -two_l * math.log(x)
-            )
-    return out
+    BENCH/BASELINE.md for the A/B table.
+
+    Delegates to :func:`estimate_from_registers` per row — ONE estimator
+    body to maintain, and the bit-identical contract holds by
+    construction rather than by keeping two copies in sync."""
+    return np.array(
+        [estimate_from_registers(r, config) for r in regs], dtype=np.float64
+    )
 
 
 def fold_registers(

@@ -523,11 +523,22 @@ def ann_pq(
 
     def score_fn(batches):
         rng = np.arange(m_sub)
+        # the broadcast __q list is identical on every blob row of the
+        # cross join — parse the (query_id, lut) structs to numpy once
+        # per python worker, not per row
+        parsed: list = []
         for pdf in batches:
             for _, row in pdf.iterrows():  # blob rows: one per input batch
                 qlist = row["__q"]
                 if qlist is None or not len(qlist):
                     continue
+                if not parsed:
+                    parsed.append(
+                        [
+                            (q["query_id"], np.asarray(q["__lut"]).reshape(m_sub, ksub))
+                            for q in qlist
+                        ]
+                    )
                 ids = np.asarray(row["__ids"])
                 codes = (
                     np.frombuffer(row["__codes"], dtype=code_dt)
@@ -535,9 +546,7 @@ def ann_pq(
                     .astype(np.int64)
                 )
                 parts = []
-                for qrow in qlist:
-                    qid = qrow["query_id"]
-                    lut = np.asarray(qrow["__lut"]).reshape(m_sub, ksub)
+                for qid, lut in parsed[0]:
                     # ADC score = sum over subspaces of LUT[code]
                     s = lut[rng[None, :], codes].sum(axis=1)
                     mask = ids != qid
@@ -646,9 +655,13 @@ def ann_ivfpq(
                 }
             )
 
+    # materialize the query-side pass ONCE: q_lists and q_one both read
+    # it, and two live executions of a non-deterministic query source
+    # (sample(), unordered limit()) could diverge — a candidate whose
+    # query_id is missing from the LUT list would crash scoring
     q_side = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    ).mapInPandas(q_fn, schema=q_schema)
+    ).mapInPandas(q_fn, schema=q_schema).localCheckpoint()
     q_lists = q_side.select("query_id", F.explode("__lists").alias("list_id"))
     q_one = q_side.agg(
         F.collect_list(F.struct("query_id", "__lut")).alias("__q")
@@ -723,15 +736,23 @@ def ann_ivfpq(
 
     def adc_fn(batches):
         rng = np.arange(m_sub)
+        # parse the (identical) broadcast LUT list once per worker
+        cache: dict = {}
         for pdf in batches:
             for _, row in pdf.iterrows():  # blob rows: one per input batch
                 qlist = row["__q"]
                 if qlist is None or not len(qlist):
                     continue
-                lut_by_qid = {
-                    qr["query_id"]: np.asarray(qr["__lut"]).reshape(m_sub, ksub)
-                    for qr in qlist
-                }
+                if not cache:
+                    cache.update(
+                        {
+                            qr["query_id"]: np.asarray(qr["__lut"]).reshape(
+                                m_sub, ksub
+                            )
+                            for qr in qlist
+                        }
+                    )
+                lut_by_qid = cache
                 qcol = np.asarray(row["__qids"])
                 nids = np.asarray(row["__nids"])
                 codes = (

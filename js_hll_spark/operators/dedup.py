@@ -87,7 +87,17 @@ def shingle_postings(
             F.array_distinct(shingles(F.col(text_col), shingle_n))
         ).alias("sh"),
     )
-    return ex.localCheckpoint() if materialize else ex
+    return _mat(ex) if materialize else ex
+
+
+def _mat(df: DataFrame) -> DataFrame:
+    """Materialize with SERIALIZED memory+disk storage: posting tables
+    are exploded string rows, and the default deserialized block format
+    inflates them several-fold in heap (a 1.6M-doc axis run killed an
+    8 GB driver through GC-locker starvation before this)."""
+    from pyspark import StorageLevel
+
+    return df.localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
 
 
 def minhash_signature(col, k: int = 16, shingle_n: int = 3):
@@ -146,13 +156,18 @@ def minhash_signature_fast(col, k: int = 16, shingle_n: int = 3):
     )
 
 
-def _lsh_band_join(sig: DataFrame, band_cols: list) -> DataFrame:
+def _lsh_band_join(
+    sig: DataFrame, band_cols: list, *, materialize: bool = True
+) -> DataFrame:
     """Band-bucket self-join shared by both MinHash tiers: materialize
     the (small, one-row-per-doc) signature table so the a/b sides of the
     self-join read the same blocks instead of each re-running the whole
     scan -> explode -> k-min-agg chain (the self-join used to double the
-    candidate-stage cost AND the raw-table scans)."""
-    sig = sig.localCheckpoint()
+    candidate-stage cost AND the raw-table scans). ``materialize=False``
+    keeps the composition lazy (plan inspection, never-executed
+    branches)."""
+    if materialize:
+        sig = _mat(sig)
     banded = sig.select(
         "__id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
     )
@@ -178,11 +193,13 @@ def minhash_lsh_candidates_fast(
     bands: int = 4,
     shingle_n: int = 3,
     postings: DataFrame | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """minhash_lsh_candidates with the xxhash64 signature — the 100 TB
     path. Same plan shape: explode shingles -> k map-side min-aggs ->
     band equi-join. Pass ``postings`` (from ``shingle_postings``) to
-    reuse a materialized posting table across composed tiers."""
+    reuse a materialized posting table across composed tiers;
+    ``materialize=False`` keeps everything lazy."""
     rows_per_band = k // bands
     if postings is None:
         postings = shingle_postings(
@@ -200,7 +217,7 @@ def minhash_lsh_candidates_fast(
         )
         for b in range(bands)
     ]
-    return _lsh_band_join(sig, band_cols)
+    return _lsh_band_join(sig, band_cols, materialize=materialize)
 
 
 def minhash_lsh_candidates(
@@ -212,6 +229,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_n: int = 3,
     postings: DataFrame | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing at least one LSH band
     (rows of k/bands minhashes). Returns (id_a, id_b) with id_a < id_b.
@@ -220,7 +238,8 @@ def minhash_lsh_candidates(
     self-equi-join on (band_idx, band_hash) -> distinct pairs. The join key
     is a hash, so it is skew-free; candidates are orders of magnitude fewer
     than n^2. Pass ``postings`` (from ``shingle_postings``) to reuse a
-    materialized posting table across composed tiers."""
+    materialized posting table across composed tiers; ``materialize=False``
+    keeps everything lazy."""
     rows_per_band = k // bands
     # explode shingles once, then k map-side min-aggregations — md5 is
     # computed once per (shingle, permutation) inside codegen, and the
@@ -250,7 +269,7 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     ]
-    return _lsh_band_join(sig, band_cols)
+    return _lsh_band_join(sig, band_cols, materialize=materialize)
 
 
 def ngram_jaccard(

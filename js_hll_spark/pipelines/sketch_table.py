@@ -86,12 +86,17 @@ def build_sketch_table(
     """Reduce ``df`` to one sketch per (partition_col, *by) and write a
     Hive-partitioned parquet sketch table at ``path``. ``sketch_kw``
     passes through to :func:`hll_sketch` (log2m, regwidth, engine, ...)."""
+    if mode != "overwrite":
+        # fail BEFORE landing rows: an append under a different hashing
+        # convention would permanently mix sketches in-place — the exact
+        # silent-garbage union the manifest exists to prevent
+        _check_and_write_meta(path, sketch_kw)
     sk = hll_sketch(
         df, value_col, by=[partition_col, *by], estimate=False, **sketch_kw
     )
     sk.write.mode(mode).partitionBy(partition_col).parquet(path)
-    # after the write: a full overwrite replaces the directory, manifest
-    # included
+    # after the write too: a full overwrite replaces the directory,
+    # manifest included
     _check_and_write_meta(path, sketch_kw)
 
 

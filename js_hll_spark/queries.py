@@ -1884,16 +1884,22 @@ def q_quantiles_tdigest(spark, sf_dir):
     reproduces exactly that arithmetic with window rank + lead().
     Compaction (the approximate regime) and merge rank-error bounds are
     gated in pytest; the gate pins the distributed build/merge/query
-    plumbing end to end. 131072 > pi*60000/2 ~ 94248 at gate SF."""
+    plumbing end to end. Compression adapts to the table size (2n >
+    pi*n/2 with a 27% margin — one bounded count() action, the same
+    contract as an index-build step), capped at 2^22 so a much larger
+    SF degrades to honest approximation instead of O(n) singleton
+    state; at gate SF n=60000 -> compression 131072."""
     _ship(spark)
     from .spark.sketch_agg import approx_quantiles
 
+    li = _t(spark, sf_dir, "lineitem")
+    comp = float(min(max(2 * li.count(), 2048), 1 << 22))
     return approx_quantiles(
-        _t(spark, sf_dir, "lineitem"),
+        li,
         "l_extendedprice",
         qs=(0.5, 0.99),
         method="tdigest",
-        params={"compression": 131072.0},
+        params={"compression": comp},
     )
 
 

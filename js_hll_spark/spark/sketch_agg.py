@@ -139,10 +139,15 @@ def sketch_agg(
         # Variable-size kinds (kll/tdigest) serialize tiny while empty
         # (KLL 32 B empty vs ~2.5 KB populated), so a budget fed only by
         # the at-creation sample under-counts state by 35-80x (ADVICE
-        # r3). Until a flush has measured POPULATED blobs, a hard key
-        # cap bounds the worst case; each flush then re-samples, keeping
-        # the byte budget honest as sketches grow.
-        measured_populated: list[bool] = []
+        # r3). The hard key cap therefore stays ACTIVE permanently, not
+        # just until the first flush: a flush taken while sketches are
+        # still small would otherwise re-arm the budget with a stale
+        # size and admit millions of keys that then grow under it. Each
+        # flush re-samples the max populated size, which only ever
+        # tightens the byte budget; the cap bounds what the budget
+        # cannot see. 4096 keys x the largest companion partial
+        # (~640 KB CMS) = 2.6 GB worst case, and the merge stage
+        # re-reduces duplicate key rows from extra flushes.
         key_cap = 4096
 
         def flush() -> pd.DataFrame:
@@ -154,7 +159,6 @@ def sketch_agg(
                     sketch_size.append(sz)
                 else:
                     sketch_size[0] = max(sketch_size[0], sz)
-                measured_populated.append(True)
             out["sketch"] = blobs
             out["rows_seen"] = [rows[gk] for gk in acc]
             acc.clear()
@@ -192,9 +196,7 @@ def sketch_agg(
             over_budget = (
                 sketch_size and len(acc) * sketch_size[0] > memory_budget_bytes
             )
-            if over_budget or (
-                not measured_populated and len(acc) >= key_cap
-            ):
+            if over_budget or len(acc) >= key_cap:
                 yield flush()
         if acc:
             yield flush()

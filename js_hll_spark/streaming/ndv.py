@@ -114,11 +114,19 @@ def streaming_ndv(
                 shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
 
     def _last_applied() -> int:
-        try:
-            with open(os.path.join(state_path, marker_name)) as f:
-                return int(f.read().strip())
-        except (OSError, ValueError):
-            return -1
+        for p in (
+            os.path.join(state_path, marker_name),
+            # legacy layout (pre-r4): marker sat beside the state dir; a
+            # state_dir written by older code must not lose its replay
+            # protection across the upgrade
+            os.path.join(state_dir, marker_name),
+        ):
+            try:
+                with open(p) as f:
+                    return int(f.read().strip())
+            except (OSError, ValueError):
+                continue
+        return -1
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
