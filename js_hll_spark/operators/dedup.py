@@ -91,13 +91,19 @@ def shingle_postings(
 
 
 def _mat(df: DataFrame) -> DataFrame:
-    """Materialize with SERIALIZED memory+disk storage: posting tables
-    are exploded string rows, and the default deserialized block format
-    inflates them several-fold in heap (a 1.6M-doc axis run killed an
-    8 GB driver through GC-locker starvation before this)."""
-    from pyspark import StorageLevel
+    """Materialize a shared dedup stage (lineage-truncating checkpoint,
+    memory+disk with eviction).
 
-    return df.localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+    Storage-level note (measured, 400k-doc pipeline, warm JVM,
+    median-of-3): deserialized blocks ~9.7 s vs serialized ~11.7 s —
+    every consumer pays a decode pass under the serialized level, so
+    Spark's deserialized default wins ~17%. An earlier 1.6M-doc axis
+    run that killed an 8 GB driver under this level was root-caused to
+    checkpoint blocks ACCUMULATING across benchmark repetitions (no
+    unpersist between reps), not to the block format — callers that
+    loop dedup jobs in one long-lived session should unpersist retired
+    checkpoints (see tools/bench_dedup_axis.py::_clear_checkpoints)."""
+    return df.localCheckpoint()
 
 
 def minhash_signature(col, k: int = 16, shingle_n: int = 3):
@@ -337,7 +343,7 @@ def ngram_jaccard(
     if materialize:
         # sizes + both intersection sides reference ex; one materialized
         # copy (16 B/row: hashed shingle + id) replaces 3 recomputations
-        ex = ex.localCheckpoint()
+        ex = _mat(ex)
     sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
     if pairs is not None:
         # verification tier: intersect ONLY the candidates. Candidates

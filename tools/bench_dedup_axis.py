@@ -111,14 +111,28 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _ship(spark)
 
-    def timed(fn):
-        t0 = time.perf_counter()
-        n = fn()
-        return time.perf_counter() - t0, n
+    def _clear_checkpoints():
+        # each rep materializes fresh localCheckpoint blocks; without an
+        # explicit unpersist they accumulate across reps (Python GC may
+        # hold them arbitrarily long), degrading later queries through
+        # memory pressure — which showed up as a composed query timing
+        # SLOWER than its own superset in the first axis run
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        it = jmap.entrySet().iterator()
+        while it.hasNext():
+            it.next().getValue().unpersist(False)
 
-    def median(fn):
-        runs = sorted(timed(fn) for _ in range(REPS))
-        return runs[len(runs) // 2]
+    def median(fn, rewarm):
+        runs = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            n = fn()
+            runs.append((time.perf_counter() - t0, n))
+            # clearing also evicts the cached docs table — re-warm it
+            # untimed so every rep starts from the same state
+            _clear_checkpoints()
+            rewarm()
+        return sorted(runs)[len(runs) // 2]
 
     table = []
     for n in SIZES:
@@ -166,7 +180,7 @@ def main() -> None:
             ("dedup_pipeline_fast", q_pipeline),
             ("dedup_clusters_fast", q_clusters),
         ):
-            sec, rows = median(fn)
+            sec, rows = median(fn, rewarm=docs.count)
             rec = {
                 "query": name,
                 "n_docs": n,
