@@ -106,13 +106,17 @@ class StageRunner:
             for fn in fns
         )
         completed_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-        # fingerprint includes bytes AND the build timestamp: a stage
-        # REBUILD invalidates its downstream even when shape happens to
-        # match (make-style mtime chaining — shape-only fingerprints let
-        # stale stages skip after an upstream rebuild with equal
-        # row/file counts, the worst checkpoint failure mode)
+        # fingerprint includes bytes AND the build time: a stage REBUILD
+        # invalidates its downstream even when shape happens to match
+        # (make-style mtime chaining — shape-only fingerprints let stale
+        # stages skip after an upstream rebuild with equal row/file
+        # counts, the worst checkpoint failure mode). Nanosecond
+        # resolution: the second-granularity timestamp used before let a
+        # rebuild that finished within the same wall-clock second as the
+        # original produce an IDENTICAL fingerprint, silently skipping
+        # the downstream rebuild (surfaced as a rare full-suite flake).
         fingerprint = (
-            f"{name}:{total_rows}:{len(partitions)}:{total_bytes}:{completed_at}"
+            f"{name}:{total_rows}:{len(partitions)}:{total_bytes}:{time.time_ns()}"
         )
         manifest = {
             "stage": name,
