@@ -525,7 +525,7 @@ def ann_pq(
         rng = np.arange(m_sub)
         # the broadcast __q list is identical on every blob row of the
         # cross join — parse the (query_id, lut) structs to numpy once
-        # per python worker, not per row
+        # per task (score_fn runs once per partition), not per row
         parsed: list = []
         for pdf in batches:
             for _, row in pdf.iterrows():  # blob rows: one per input batch
@@ -658,7 +658,11 @@ def ann_ivfpq(
     # materialize the query-side pass ONCE: q_lists and q_one both read
     # it, and two live executions of a non-deterministic query source
     # (sample(), unordered limit()) could diverge — a candidate whose
-    # query_id is missing from the LUT list would crash scoring
+    # query_id is missing from the LUT list would crash scoring. The
+    # eager checkpoint runs a (query-table-sized) job at construction;
+    # this is a serving API whose result is always executed, so the
+    # consistency guarantee wins over laziness here (unlike the dedup
+    # stages, which expose materialize=False for plan inspection).
     q_side = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     ).mapInPandas(q_fn, schema=q_schema).localCheckpoint()
@@ -736,7 +740,7 @@ def ann_ivfpq(
 
     def adc_fn(batches):
         rng = np.arange(m_sub)
-        # parse the (identical) broadcast LUT list once per worker
+        # parse the (identical) broadcast LUT list once per task
         cache: dict = {}
         for pdf in batches:
             for _, row in pdf.iterrows():  # blob rows: one per input batch

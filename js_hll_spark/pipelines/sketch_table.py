@@ -49,16 +49,19 @@ def _sketch_meta(sketch_kw: dict) -> dict:
     }
 
 
-def _check_and_write_meta(path: str, sketch_kw: dict) -> None:
-    """Refuse to merge/update a stored table under a different hashing
-    convention; (re)write the manifest atomically otherwise."""
-    meta = _sketch_meta(sketch_kw)
-    meta_path = os.path.join(path, _META)
+def _read_meta(path: str) -> dict | None:
     try:
-        with open(meta_path) as f:
-            existing = json.load(f)
+        with open(os.path.join(path, _META)) as f:
+            return json.load(f)
     except (OSError, ValueError):
-        existing = None
+        return None
+
+
+def _check_meta(path: str, sketch_kw: dict) -> None:
+    """Refuse to touch a stored table under a different hashing
+    convention (no side effects — safe to call before any write)."""
+    meta = _sketch_meta(sketch_kw)
+    existing = _read_meta(path)
     if existing is not None and existing != meta:
         raise ValueError(
             f"sketch table at {path} was built with {existing}, but this "
@@ -66,10 +69,16 @@ def _check_and_write_meta(path: str, sketch_kw: dict) -> None:
             "conventions produces silent garbage; rebuild the table or "
             "match its convention"
         )
+
+
+def _check_and_write_meta(path: str, sketch_kw: dict) -> None:
+    """_check_meta + atomically (re)write the manifest."""
+    _check_meta(path, sketch_kw)
     os.makedirs(path, exist_ok=True)
+    meta_path = os.path.join(path, _META)
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(meta, f)
+        json.dump(_sketch_meta(sketch_kw), f)
     os.replace(tmp, meta_path)
 
 
@@ -86,17 +95,23 @@ def build_sketch_table(
     """Reduce ``df`` to one sketch per (partition_col, *by) and write a
     Hive-partitioned parquet sketch table at ``path``. ``sketch_kw``
     passes through to :func:`hll_sketch` (log2m, regwidth, engine, ...)."""
-    if mode != "overwrite":
+    if mode == "append":
         # fail BEFORE landing rows: an append under a different hashing
         # convention would permanently mix sketches in-place — the exact
-        # silent-garbage union the manifest exists to prevent
-        _check_and_write_meta(path, sketch_kw)
+        # silent-garbage union the manifest exists to prevent. Check
+        # only (no mkdir/manifest side effects — creating the path
+        # first would break mode='error'/'ignore' semantics, whose
+        # writes key off path existence)
+        _check_meta(path, sketch_kw)
+    pre_existing = os.path.exists(path)
     sk = hll_sketch(
         df, value_col, by=[partition_col, *by], estimate=False, **sketch_kw
     )
     sk.write.mode(mode).partitionBy(partition_col).parquet(path)
-    # after the write too: a full overwrite replaces the directory,
-    # manifest included
+    if mode == "ignore" and pre_existing:
+        # the write was silently skipped against a pre-existing table —
+        # never (re)label a table this call did not produce
+        return
     _check_and_write_meta(path, sketch_kw)
 
 

@@ -1888,7 +1888,12 @@ def q_quantiles_tdigest(spark, sf_dir):
     pi*n/2 with a 27% margin — one bounded count() action, the same
     contract as an index-build step), capped at 2^22 so a much larger
     SF degrades to honest approximation instead of O(n) singleton
-    state; at gate SF n=60000 -> compression 131072."""
+    state; at gate SF n=60000 -> compression 120000. CAVEAT: past the
+    cap (lineitem > ~2.6M rows, i.e. SF >~ 0.45) singletons start
+    merging and this oracle would report a spurious mismatch — the
+    exactness window covers every driver gate SF (0.001-0.1) with
+    ~20x headroom; beyond it, drop the ORACLES entry rather than
+    raise the cap (an uncompacted digest is O(n) state)."""
     _ship(spark)
     from .spark.sketch_agg import approx_quantiles
 

@@ -114,18 +114,23 @@ def streaming_ndv(
                 shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
 
     def _last_applied() -> int:
-        for p in (
-            os.path.join(state_path, marker_name),
-            # legacy layout (pre-r4): marker sat beside the state dir; a
-            # state_dir written by older code must not lose its replay
-            # protection across the upgrade
-            os.path.join(state_dir, marker_name),
-        ):
+        try:
+            with open(os.path.join(state_path, marker_name)) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            pass
+        # legacy layout (pre-r4): marker sat beside the state dir; a
+        # state dir written by older code must not lose its replay
+        # protection across the upgrade. Honored ONLY while that state
+        # still exists — after an operator wipes state/ to recompute
+        # from scratch, a stale sibling marker must not silently drop
+        # the replayed batches (the first swap migrates it away).
+        if os.path.isdir(state_path):
             try:
-                with open(p) as f:
+                with open(os.path.join(state_dir, marker_name)) as f:
                     return int(f.read().strip())
             except (OSError, ValueError):
-                continue
+                pass
         return -1
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -166,6 +171,13 @@ def streaming_ndv(
             os.rename(state_path, old)
         os.rename(tmp, state_path)
         shutil.rmtree(old, ignore_errors=True)
+        # migrate away the legacy sibling marker: the in-state marker
+        # now owns replay protection, and a stale sibling would
+        # otherwise outlive a future state reset
+        try:
+            os.remove(os.path.join(state_dir, marker_name))
+        except OSError:
+            pass
 
     return (
         windowed.writeStream.foreachBatch(process_batch)

@@ -48,11 +48,10 @@ _U = np.uint64
 
 
 def _mix(x: np.ndarray, salt: int) -> np.ndarray:
-    with np.errstate(over="ignore"):
-        z = x.astype(_U) + _U(salt) * _U(0x9E3779B97F4A7C15) + _U(42)
-        z = (z ^ (z >> _U(30))) * _U(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> _U(27))) * _U(0x94D049BB133111EB)
-        return z ^ (z >> _U(31))
+    # the library's splitmix64 stream (seed 42) — reuse, don't re-derive
+    from js_hll_spark.sources.webtext import _stream
+
+    return _stream(x, salt)
 
 
 def dedup_corpus(spark, n_rows: int, partitions: int):
