@@ -1,3 +1,3 @@
-from . import ann, dedup, multimodal, text
+from . import ann, dedup, multimodal, sample, text
 
-__all__ = ["ann", "dedup", "multimodal", "text"]
+__all__ = ["ann", "dedup", "multimodal", "sample", "text"]

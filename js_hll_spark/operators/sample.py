@@ -1,0 +1,126 @@
+"""Deterministic, reproducible sampling for training-data pipelines.
+
+Three operators, all pure functions of the data (no RNG state, no
+partition-order dependence — the property that matters when a 100 TB
+corpus subsample must be re-derivable bit-for-bit months later):
+
+- ``sample_bernoulli``: keep a row iff its key's hash falls under the
+  fraction threshold. Same keys always sample together across tables
+  (join-consistent sampling, the Bernoulli-by-key trick).
+- ``sample_stratified``: exactly ``k`` rows per group, chosen by hash
+  rank — per-domain / per-language quotas without a global sort.
+- ``sample_fixed``: exactly ``n`` rows globally by hash order. Spark
+  executes orderBy+limit as TakeOrderedAndProject (per-partition local
+  top-n, then a single driver-side merge of n-row heads — never a full
+  sort shuffle), so this is the scale-safe "deterministic reservoir".
+
+All three derive randomness from ``md5(key)`` so an external engine
+(the pytest DuckDB oracles) reproduces the exact row set; swap
+``hash_expr`` for ``F.xxhash64`` when throughput matters more than
+cross-engine reproducibility (same plan shape, rows-only).
+
+The query registry's 50-row driver window is full (every slot holds an
+oracled query), so these register no queries() entries; the Spark vs
+DuckDB equivalence is pinned in tests/test_sampling.py instead.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _md5_u01(col: Column) -> Column:
+    """Uniform [0, 1) from the top 52 bits of md5(key) — deterministic,
+    engine-reproducible (DuckDB: md5 -> substring -> from_hex 13 nibbles
+    / 2^52). 52 bits keep the integer exact in a double on both sides."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 52))
+    )
+
+
+def sample_bernoulli(
+    df: DataFrame,
+    fraction: float,
+    key_col: str,
+    *,
+    seed: str = "",
+) -> DataFrame:
+    """Keep rows whose key hashes under ``fraction`` — deterministic
+    Bernoulli(fraction) per DISTINCT key: every row of a sampled key is
+    kept (join-consistent across tables sharing the key), and re-running
+    at a larger fraction yields a superset (nested samples, the property
+    incremental corpus scaling needs). ``seed`` salts the hash to draw
+    an independent sample."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    u = _md5_u01(F.concat(F.lit(seed), F.lit("|"), F.col(key_col).cast("string")))
+    return df.filter(u < fraction)
+
+
+def sample_stratified(
+    df: DataFrame,
+    by: Sequence[str],
+    k: int,
+    key_col: str,
+    *,
+    seed: str = "",
+) -> DataFrame:
+    """Exactly ``min(k, group size)`` rows per group, selected by hash
+    rank (ties broken by the key itself, so the pick is total and
+    deterministic). The per-group rank is a window over the group key —
+    one hash-partitioned shuffle, no global sort; a group's quota never
+    depends on any other group's contents."""
+    from pyspark.sql.window import Window
+
+    u = _md5_u01(
+        F.concat(F.lit(seed), F.lit("|"), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(*by).orderBy(u.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def sample_fixed(
+    df: DataFrame,
+    n: int,
+    key_col: str,
+    *,
+    seed: str = "",
+) -> DataFrame:
+    """Exactly ``min(n, |df|)`` rows globally, by hash order —
+    deterministic fixed-size sample. Plan shape: TakeOrderedAndProject
+    (local top-n per partition, single merge of the n-row heads), which
+    survives any table size as long as n itself is driver-tractable."""
+    u = _md5_u01(
+        F.concat(F.lit(seed), F.lit("|"), F.col(key_col).cast("string"))
+    )
+    return (
+        df.withColumn("__u", u)
+        .orderBy(F.col("__u").asc(), F.col(key_col).asc())
+        .limit(n)
+        .drop("__u")
+    )
+
+
+def split_train_holdout(
+    df: DataFrame,
+    holdout_fraction: float,
+    key_col: str,
+    *,
+    seed: str = "",
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive (train, holdout) split on the key hash — the
+    contamination-safe way to carve an eval set out of a training
+    corpus: membership depends only on the key, so a document can never
+    drift between splits across reruns, shards, or table versions."""
+    u = _md5_u01(
+        F.concat(F.lit(seed), F.lit("|"), F.col(key_col).cast("string"))
+    )
+    return df.filter(u >= holdout_fraction), df.filter(u < holdout_fraction)

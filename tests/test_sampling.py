@@ -1,0 +1,155 @@
+"""Deterministic sampling operators (operators/sample.py): exact
+Spark-vs-DuckDB row-set equivalence (the registry's 50-row driver
+window is full, so the oracle lives here), plus the properties a
+reproducible corpus subsample must hold — nestedness, join-consistency,
+split disjointness, and partition-order independence."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from js_hll_spark.operators import sample
+
+SF = "/root/testdata/sf0.01"
+
+
+def _duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    return con
+
+
+U01 = (
+    "(('0x' || substring(md5('{seed}|' || doc_id::VARCHAR), 1, 13))::BIGINT"
+    " / 4503599627370496.0)"
+)
+
+
+def test_bernoulli_matches_duckdb(spark, documents):
+    got = sorted(
+        r["doc_id"]
+        for r in sample.sample_bernoulli(
+            documents, 0.3, "doc_id", seed="s1"
+        ).collect()
+    )
+    con = _duck()
+    want = sorted(
+        r[0]
+        for r in con.sql(
+            "SELECT doc_id FROM documents WHERE "
+            + U01.format(seed="s1")
+            + " < 0.3"
+        ).fetchall()
+    )
+    assert got == want and 0 < len(got) < documents.count()
+    # fraction is honored within binomial noise
+    n = documents.count()
+    assert abs(len(got) / n - 0.3) < 0.1
+
+
+def test_bernoulli_nested_and_join_consistent(spark, documents):
+    small = {
+        r["doc_id"]
+        for r in sample.sample_bernoulli(documents, 0.2, "doc_id").collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in sample.sample_bernoulli(documents, 0.5, "doc_id").collect()
+    }
+    assert small <= big  # nested: growing the fraction only adds keys
+    # join-consistency: sampling another table by the same key keeps
+    # exactly the same key set
+    other = documents.select("doc_id", "lang")
+    other_keys = {
+        r["doc_id"]
+        for r in sample.sample_bernoulli(other, 0.2, "doc_id").collect()
+    }
+    assert other_keys == small
+    # a different seed draws a genuinely different sample
+    reseeded = {
+        r["doc_id"]
+        for r in sample.sample_bernoulli(
+            documents, 0.2, "doc_id", seed="other"
+        ).collect()
+    }
+    assert reseeded != small
+
+
+def test_stratified_matches_duckdb_and_quotas(spark, documents):
+    k = 7
+    got = sorted(
+        (r["lang"], r["doc_id"])
+        for r in sample.sample_stratified(
+            documents, ["lang"], k, "doc_id"
+        ).collect()
+    )
+    con = _duck()
+    want = sorted(
+        (r[0], r[1])
+        for r in con.sql(
+            "SELECT lang, doc_id FROM ("
+            "  SELECT lang, doc_id, row_number() OVER ("
+            "    PARTITION BY lang ORDER BY " + U01.format(seed="")
+            + " ASC, doc_id ASC) AS rk FROM documents"
+            ") WHERE rk <= 7"
+        ).fetchall()
+    )
+    assert got == want
+    counts = (
+        sample.sample_stratified(documents, ["lang"], k, "doc_id")
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    n_langs = documents.select("lang").distinct().count()
+    assert len(counts) == n_langs
+    assert all(r["count"] == k for r in counts)  # every gate lang has >= k docs
+
+
+def test_fixed_sample_matches_duckdb_and_plan(spark, documents):
+    n = 37
+    got = sorted(
+        r["doc_id"]
+        for r in sample.sample_fixed(documents, n, "doc_id").collect()
+    )
+    con = _duck()
+    want = sorted(
+        r[0]
+        for r in con.sql(
+            "SELECT doc_id FROM documents ORDER BY "
+            + U01.format(seed="")
+            + " ASC, doc_id ASC LIMIT 37"
+        ).fetchall()
+    )
+    assert got == want and len(got) == n
+    # scale shape: global order+limit must run as TakeOrdered (local
+    # top-n + single merge), never a full sort shuffle
+    plan = (
+        sample.sample_fixed(documents, n, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_split_disjoint_exhaustive_stable(spark, documents):
+    train, hold = sample.split_train_holdout(documents, 0.25, "doc_id")
+    t = {r["doc_id"] for r in train.collect()}
+    h = {r["doc_id"] for r in hold.collect()}
+    assert t.isdisjoint(h)
+    assert len(t) + len(h) == documents.count()
+    # membership is a pure function of the key: a reshuffled copy of the
+    # table splits identically (no partition-order dependence)
+    t2, h2 = sample.split_train_holdout(
+        documents.repartition(13), 0.25, "doc_id"
+    )
+    assert {r["doc_id"] for r in h2.collect()} == h
+
+
+def test_bernoulli_rejects_bad_fraction(spark, documents):
+    with pytest.raises(ValueError, match="fraction"):
+        sample.sample_bernoulli(documents, 1.5, "doc_id")
