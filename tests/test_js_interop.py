@@ -142,3 +142,68 @@ def test_reference_roundtrips_our_full_reencode():
     assert math.isclose(
         back.algorithm_cardinality(), s.algorithm_cardinality(), rel_tol=1e-12
     )
+
+
+def test_reference_decodes_random_config_sweep():
+    """Randomized-config sweep against the live reference (r4): the fixed
+    cases above pin one config per mode; this sweeps the (log2m, rw)
+    lattice with seeded-random value counts so every storage layout —
+    byte-aligned and not, every regwidth, explicit through saturated
+    full — crosses the reference's bit reader in one Node batch.
+    Deterministic (seeded numpy, not hypothesis): the same 24 cases
+    every run, so a failure is replayable."""
+    rng = np.random.default_rng(2024)
+    cases, expect = [], {}
+    for i in range(24):
+        log2m = int(rng.integers(4, 18))
+        # the reference's RUNTIME caps regwidth at 1..5 (hll.js:211) even
+        # though the storage spec's field is 1..8 — our 6..8 support is
+        # spec-true but has no live-reference twin to compare against
+        rw = int(rng.integers(1, 6))
+        kind = ("explicit", "sparse", "full")[i % 3]
+        cfg = HLLConfig(log2m, rw)
+        if kind == "explicit":
+            s = HLL(cfg)
+            n = int(rng.integers(1, max(2, s.explicit_threshold)))
+            values = rand_hashes(n, 100 + i)
+            s.add_raw64(values)
+            if s._explicit is None:
+                continue  # tiny auto threshold promoted it; covered below
+            case_values = values
+            mode = "Explicit"
+        elif kind == "sparse":
+            s = HLL(cfg, explicit_threshold=0)
+            n = max(1, int(cfg.sparse_threshold * 0.6))
+            s.add_raw64(rand_hashes(n, 100 + i))
+            if s._sparse is None:
+                continue  # promotion crossed the threshold
+            case_values = None
+            mode = "Sparse"
+        else:
+            s = HLL(cfg, explicit_threshold=0, sparse_on=False)
+            n = int(cfg.m * 3)
+            s.add_raw64(rand_hashes(n, 100 + i))
+            case_values = None
+            mode = "Full"
+        name = f"sweep_{i}_{kind}_{log2m}_{rw}"
+        case = {"name": name, "hex": s.to_hex(), "registers": s.registers().tolist()}
+        if case_values is not None:
+            case["values"] = lo_hi(case_values)
+        cases.append(case)
+        expect[name] = (s, mode, case_values is not None)
+    assert len(cases) >= 18  # the sweep must not degenerate
+    got = run_reference(cases)
+    for name, (s, mode, has_values) in expect.items():
+        r = got[name]
+        assert r["algorithm"] == mode, name
+        assert r.get("reg_match", True), (name, r.get("first_diff"))
+        if has_values:
+            assert r["direct_match"], name
+        twin = dense_twin(s)
+        ref_card = r["algorithmCardinality"]
+        ours = twin.algorithm_cardinality()
+        if math.isnan(ours):
+            assert ref_card is None or math.isnan(ref_card), name
+        else:
+            assert math.isclose(ref_card, ours, rel_tol=1e-12), name
+        assert r["rehex"] == twin.to_hex(), name
