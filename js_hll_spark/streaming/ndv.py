@@ -64,6 +64,7 @@ def streaming_ndv(
     log2m: int = 12,
     checkpoint_dir: str | None = None,
     engine: str = "auto",
+    retention: str | None = None,
 ):
     """Start a foreachBatch streaming query maintaining a per-window NDV
     sketch table under ``state_dir``. Returns the StreamingQuery.
@@ -76,6 +77,15 @@ def streaming_ndv(
     tier; 'sql'/'python' build dense registers (the fixed-bytes scale
     tier). Read estimates any time with
     ``read_ndv_state(spark, state_dir)``.
+
+    ``retention`` (e.g. ``"7 days"``) bounds the state table: after each
+    merge, window rows older than ``max(window_start) - retention`` are
+    dropped. Without it state grows one sketch row per (window, key)
+    FOREVER — fine for a bounded replay, a leak on an unbounded 100 TB
+    stream. Retention is applied relative to the max ingested window
+    (event time), not wall clock, so a paused-and-resumed stream never
+    drops rows it would still update. Default None keeps everything
+    (the oracle tier replays bounded history and checks every window).
     """
     spark = stream.sparkSession
     keys = list(keys)
@@ -159,6 +169,20 @@ def streaming_ndv(
         merged = merge_sketch_tables(
             current, partials, ["window_start", *keys]
         )
+        if retention is not None:
+            # bound state by EVENT time: drop windows older than the
+            # newest window seen minus the retention horizon (one
+            # scalar subquery — no driver collect, no wall-clock
+            # dependence)
+            horizon = merged.select(
+                (
+                    F.max("window_start")
+                    - F.expr(f"INTERVAL {retention}")
+                ).alias("__h")
+            )
+            merged = merged.join(F.broadcast(horizon)).filter(
+                F.col("window_start") >= F.col("__h")
+            ).drop("__h")
         tmp = state_path + f".tmp{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
         # marker goes into tmp BEFORE the swap — rename(tmp -> state) is

@@ -331,3 +331,54 @@ def test_replay_marker_travels_with_state(spark, events, tmp_path):
         for r in read_ndv_state(spark, state_dir).collect()
     )
     assert after == before
+
+
+def test_state_retention_bounds_windows(spark, events, tmp_path):
+    """retention='N hours' must cap the state table at the trailing
+    event-time horizon (state is otherwise one sketch row per (window,
+    key) FOREVER — a leak on an unbounded stream), while every window
+    inside the horizon keeps exact merge semantics."""
+    import os
+
+    src_dir = str(tmp_path / "ret_src")
+    full_dir = str(tmp_path / "ret_full")
+    capped_dir = str(tmp_path / "ret_capped")
+    ev = events.limit(4000)
+    ev.coalesce(2).write.parquet(src_dir)
+
+    def run(state_dir, retention, ck):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        q = streaming_ndv(
+            stream,
+            "user_id",
+            ts_col="ts",
+            window="1 hour",
+            state_dir=state_dir,
+            watermark=None,
+            log2m=12,
+            checkpoint_dir=str(tmp_path / ck),
+            retention=retention,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run(full_dir, None, "ck_full")
+    run(capped_dir, "6 hours", "ck_capped")
+    full = {
+        r["window_start"]: (r["ndv"], r["rows_seen"])
+        for r in read_ndv_state(spark, full_dir).collect()
+    }
+    capped = {
+        r["window_start"]: (r["ndv"], r["rows_seen"])
+        for r in read_ndv_state(spark, capped_dir).collect()
+    }
+    assert len(full) > len(capped) > 0
+    horizon = max(full) - __import__("datetime").timedelta(hours=6)
+    kept = {w for w in full if w >= horizon}
+    assert set(capped) == kept
+    for w in capped:
+        assert capped[w] == full[w]  # retained windows merge identically
