@@ -109,6 +109,39 @@ def sample_fixed(
     )
 
 
+def sample_weighted(
+    df: DataFrame,
+    n: int,
+    key_col: str,
+    weight_col: str,
+    *,
+    seed: str = "",
+) -> DataFrame:
+    """Exactly ``min(n, |df|)`` rows, inclusion probability proportional
+    to ``weight_col`` — the Efraimidis–Spirakis exponential-keys scheme
+    (each row scores ``-ln(u)/w``; the n SMALLEST scores win), made
+    deterministic by drawing ``u`` from the key hash. Same
+    TakeOrderedAndProject shape as :func:`sample_fixed`: local top-n per
+    partition, one n-row merge, no full sort shuffle. Rows with
+    non-positive or null weight are excluded (they'd score +inf)."""
+    u = _md5_u01(
+        F.concat(F.lit(seed), F.lit("|"), F.col(key_col).cast("string"))
+    )
+    w = F.col(weight_col).cast("double")
+    score = -F.log(
+        # u=0 has probability 2^-52 but would yield -inf (always wins
+        # regardless of weight) — clamp one quantum up
+        F.greatest(u, F.lit(2.0 ** -52))
+    ) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("__s", score)
+        .orderBy(F.col("__s").asc(), F.col(key_col).asc())
+        .limit(n)
+        .drop("__s")
+    )
+
+
 def split_train_holdout(
     df: DataFrame,
     holdout_fraction: float,

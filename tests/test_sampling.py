@@ -153,3 +153,43 @@ def test_split_disjoint_exhaustive_stable(spark, documents):
 def test_bernoulli_rejects_bad_fraction(spark, documents):
     with pytest.raises(ValueError, match="fraction"):
         sample.sample_bernoulli(documents, 1.5, "doc_id")
+
+
+def test_weighted_sample_matches_duckdb_and_bias(spark, documents):
+    """Weighted fixed-size sampling (Efraimidis-Spirakis keys from the
+    deterministic hash): exact row-set equality vs DuckDB, TakeOrdered
+    plan shape, and the weighting actually biases the sample (mean
+    n_chars of a size-weighted sample exceeds the corpus mean)."""
+    n = 50
+    got = sorted(
+        r["doc_id"]
+        for r in sample.sample_weighted(
+            documents, n, "doc_id", "n_chars"
+        ).collect()
+    )
+    con = _duck()
+    want = sorted(
+        r[0]
+        for r in con.sql(
+            "SELECT doc_id FROM documents WHERE n_chars > 0 "
+            "ORDER BY -ln(greatest(" + U01.format(seed="")
+            + ", pow(2.0, -52))) / n_chars::DOUBLE ASC, doc_id ASC LIMIT 50"
+        ).fetchall()
+    )
+    assert got == want and len(got) == n
+    plan = (
+        sample.sample_weighted(documents, n, "doc_id", "n_chars")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    import pyspark.sql.functions as F
+
+    corpus_mean = documents.agg(F.avg("n_chars")).first()[0]
+    sample_mean = (
+        sample.sample_weighted(documents, n, "doc_id", "n_chars")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    assert sample_mean > corpus_mean
