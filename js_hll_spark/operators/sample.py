@@ -19,6 +19,14 @@ All three derive randomness from ``md5(key)`` so an external engine
 ``hash_expr`` for ``F.xxhash64`` when throughput matters more than
 cross-engine reproducibility (same plan shape, rows-only).
 
+Key contract: ``sample_bernoulli`` / ``split_train_holdout`` sample by
+DISTINCT key (multi-row keys travel together — that is the point). The
+row samplers (``sample_stratified`` / ``sample_fixed`` /
+``sample_weighted``) require ``key_col`` to uniquely identify rows (a
+row id): rows sharing a key tie on every sort criterion, and which
+tied rows survive the cut would then depend on partition order —
+exactly the nondeterminism this module exists to rule out.
+
 The query registry's 50-row driver window is full (every slot holds an
 oracled query), so these register no queries() entries; the Spark vs
 DuckDB equivalence is pinned in tests/test_sampling.py instead.
@@ -26,20 +34,36 @@ DuckDB equivalence is pinned in tests/test_sampling.py instead.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _md5_u01(col: Column) -> Column:
     """Uniform [0, 1) from the top 52 bits of md5(key) — deterministic,
-    engine-reproducible (DuckDB: md5 -> substring -> from_hex 13 nibbles
+    engine-reproducible (DuckDB: md5 -> substring -> 13 hex nibbles
     / 2^52). 52 bits keep the integer exact in a double on both sides."""
     return (
         F.conv(F.substring(F.md5(col.cast("string")), 1, 13), 16, 10)
         .cast("double")
         / F.lit(float(1 << 52))
     )
+
+
+def _key_u01(key_col: str, seed: str) -> Column:
+    """The sampler's uniform draw for a row's key.
+
+    - The seed is LENGTH-PREFIXED before the '|' separator, so distinct
+      (seed, key) pairs can never collide ("a|b"+key "c" vs "a"+key
+      "b|c") — without it, nominally independent seeds would be
+      perfectly correlated on colliding pairs.
+    - A NULL key coalesces to a sentinel instead of propagating NULL
+      through md5: otherwise every null-keyed row silently vanishes
+      from Bernoulli samples (NULL < f is NULL = false) and from BOTH
+      halves of a split — the repo's recurring null-group bug class."""
+    prefix = f"{len(seed)}|{seed}|"
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
+    return _md5_u01(F.concat(F.lit(prefix), key))
 
 
 def sample_bernoulli(
@@ -57,8 +81,7 @@ def sample_bernoulli(
     an independent sample."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    u = _md5_u01(F.concat(F.lit(seed), F.lit("|"), F.col(key_col).cast("string")))
-    return df.filter(u < fraction)
+    return df.filter(_key_u01(key_col, seed) < fraction)
 
 
 def sample_stratified(
@@ -76,9 +99,7 @@ def sample_stratified(
     depends on any other group's contents."""
     from pyspark.sql.window import Window
 
-    u = _md5_u01(
-        F.concat(F.lit(seed), F.lit("|"), F.col(key_col).cast("string"))
-    )
+    u = _key_u01(key_col, seed)
     w = Window.partitionBy(*by).orderBy(u.asc(), F.col(key_col).asc())
     return (
         df.withColumn("__rk", F.row_number().over(w))
@@ -98,9 +119,7 @@ def sample_fixed(
     deterministic fixed-size sample. Plan shape: TakeOrderedAndProject
     (local top-n per partition, single merge of the n-row heads), which
     survives any table size as long as n itself is driver-tractable."""
-    u = _md5_u01(
-        F.concat(F.lit(seed), F.lit("|"), F.col(key_col).cast("string"))
-    )
+    u = _key_u01(key_col, seed)
     return (
         df.withColumn("__u", u)
         .orderBy(F.col("__u").asc(), F.col(key_col).asc())
@@ -124,17 +143,19 @@ def sample_weighted(
     TakeOrderedAndProject shape as :func:`sample_fixed`: local top-n per
     partition, one n-row merge, no full sort shuffle. Rows with
     non-positive or null weight are excluded (they'd score +inf)."""
-    u = _md5_u01(
-        F.concat(F.lit(seed), F.lit("|"), F.col(key_col).cast("string"))
-    )
+    u = _key_u01(key_col, seed)
     w = F.col(weight_col).cast("double")
     score = -F.log(
-        # u=0 has probability 2^-52 but would yield -inf (always wins
-        # regardless of weight) — clamp one quantum up
+        # u=0 has probability 2^-52, but Spark's log(0) returns NULL and
+        # a NULL score sorts FIRST in ASC — the row would always win
+        # regardless of weight; clamp one quantum up
         F.greatest(u, F.lit(2.0 ** -52))
     ) / w
     return (
-        df.filter(w > 0)
+        # NaN > 0 is TRUE under Spark's ordering semantics — exclude it
+        # explicitly or NaN-weighted rows sort last and sneak in when n
+        # exceeds the positive-weight row count
+        df.filter((w > 0) & ~F.isnan(w))
         .withColumn("__s", score)
         .orderBy(F.col("__s").asc(), F.col(key_col).asc())
         .limit(n)
@@ -153,7 +174,9 @@ def split_train_holdout(
     contamination-safe way to carve an eval set out of a training
     corpus: membership depends only on the key, so a document can never
     drift between splits across reruns, shards, or table versions."""
-    u = _md5_u01(
-        F.concat(F.lit(seed), F.lit("|"), F.col(key_col).cast("string"))
-    )
+    if not 0.0 <= holdout_fraction <= 1.0:
+        raise ValueError(
+            f"holdout_fraction must be in [0, 1], got {holdout_fraction}"
+        )
+    u = _key_u01(key_col, seed)
     return df.filter(u >= holdout_fraction), df.filter(u < holdout_fraction)

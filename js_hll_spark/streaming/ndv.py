@@ -172,16 +172,34 @@ def streaming_ndv(
         if retention is not None:
             # bound state by EVENT time: drop windows older than the
             # newest window seen minus the retention horizon (one
-            # scalar subquery — no driver collect, no wall-clock
-            # dependence)
+            # broadcast scalar subquery — no driver collect). Three
+            # hardenings from review:
+            # - materialize merged first, or the horizon aggregate and
+            #   the filter would each re-run the whole merge subtree
+            #   (state read + rollup UDF) — 2x the batch cost
+            # - clamp the anchor to wall-clock now: a single corrupt
+            #   far-future timestamp would otherwise advance the horizon
+            #   past every legitimate window and wipe the accumulated
+            #   state in one swap (the clamp only ever REDUCES deletion;
+            #   event-time replays/backfills keep max < now and are
+            #   unaffected)
+            # - keep the null-window row (events with null ts), which
+            #   merge_sketch_tables deliberately preserves via
+            #   eqNullSafe — a plain >= filter would drop it as NULL
+            merged = merged.localCheckpoint()
+            wcol = merged.schema["window_start"].dataType
             horizon = merged.select(
                 (
-                    F.max("window_start")
+                    F.least(
+                        F.max("window_start"),
+                        F.current_timestamp().cast(wcol),
+                    )
                     - F.expr(f"INTERVAL {retention}")
                 ).alias("__h")
             )
             merged = merged.join(F.broadcast(horizon)).filter(
-                F.col("window_start") >= F.col("__h")
+                (F.col("window_start") >= F.col("__h"))
+                | F.col("window_start").isNull()
             ).drop("__h")
         tmp = state_path + f".tmp{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)

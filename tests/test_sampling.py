@@ -22,10 +22,13 @@ def _duck():
     return con
 
 
-U01 = (
-    "(('0x' || substring(md5('{seed}|' || doc_id::VARCHAR), 1, 13))::BIGINT"
-    " / 4503599627370496.0)"
-)
+def U01_fmt(seed: str) -> str:
+    # mirror _key_u01's length-prefixed seed derivation
+    p = f"{len(seed)}|{seed}|"
+    return (
+        f"(('0x' || substring(md5('{p}' || doc_id::VARCHAR), 1, 13))::BIGINT"
+        " / 4503599627370496.0)"
+    )
 
 
 def test_bernoulli_matches_duckdb(spark, documents):
@@ -40,7 +43,7 @@ def test_bernoulli_matches_duckdb(spark, documents):
         r[0]
         for r in con.sql(
             "SELECT doc_id FROM documents WHERE "
-            + U01.format(seed="s1")
+            + U01_fmt("s1")
             + " < 0.3"
         ).fetchall()
     )
@@ -92,7 +95,7 @@ def test_stratified_matches_duckdb_and_quotas(spark, documents):
         for r in con.sql(
             "SELECT lang, doc_id FROM ("
             "  SELECT lang, doc_id, row_number() OVER ("
-            "    PARTITION BY lang ORDER BY " + U01.format(seed="")
+            "    PARTITION BY lang ORDER BY " + U01_fmt("")
             + " ASC, doc_id ASC) AS rk FROM documents"
             ") WHERE rk <= 7"
         ).fetchall()
@@ -120,7 +123,7 @@ def test_fixed_sample_matches_duckdb_and_plan(spark, documents):
         r[0]
         for r in con.sql(
             "SELECT doc_id FROM documents ORDER BY "
-            + U01.format(seed="")
+            + U01_fmt("")
             + " ASC, doc_id ASC LIMIT 37"
         ).fetchall()
     )
@@ -172,7 +175,7 @@ def test_weighted_sample_matches_duckdb_and_bias(spark, documents):
         r[0]
         for r in con.sql(
             "SELECT doc_id FROM documents WHERE n_chars > 0 "
-            "ORDER BY -ln(greatest(" + U01.format(seed="")
+            "ORDER BY -ln(greatest(" + U01_fmt("")
             + ", pow(2.0, -52))) / n_chars::DOUBLE ASC, doc_id ASC LIMIT 50"
         ).fetchall()
     )
@@ -193,3 +196,27 @@ def test_weighted_sample_matches_duckdb_and_bias(spark, documents):
         .first()[0]
     )
     assert sample_mean > corpus_mean
+
+
+def test_null_keys_survive_bernoulli_and_split(spark):
+    """Null keys hash through a sentinel instead of propagating NULL:
+    fraction=1.0 must keep every row, and a split must stay exhaustive
+    with null-keyed rows present (the repo's recurring null-group bug
+    class — NULL < f is NULL, which silently drops the row)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], ["id", "k"]
+    )
+    assert sample.sample_bernoulli(df, 1.0, "k").count() == 4
+    train, hold = sample.split_train_holdout(df, 0.5, "k")
+    assert train.count() + hold.count() == 4
+    with pytest.raises(ValueError, match="holdout_fraction"):
+        sample.split_train_holdout(df, -0.1, "k")
+
+
+def test_weighted_excludes_nan_and_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, float("nan")), (3, -1.0), (4, 0.0), (5, 3.0)],
+        ["id", "w"],
+    )
+    got = {r["id"] for r in sample.sample_weighted(df, 10, "id", "w").collect()}
+    assert got == {1, 5}
