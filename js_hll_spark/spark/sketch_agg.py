@@ -222,8 +222,59 @@ def sketch_agg(
         return pd.DataFrame(out)
 
     if keys:
-        return partials.groupBy(*keys).applyInPandas(
-            merge_fn, schema=StructType(out_fields)
+        # keyed merge: stream whole Arrow batches through one python
+        # call (hash repartition + in-partition sort, merge with carry
+        # across batch boundaries) instead of one applyInPandas call per
+        # group — per-group call overhead dominates at high key
+        # cardinality (the same fix the HLL engine's keyed assembly got
+        # in r2; the scan order is deterministic, which the old
+        # shuffle-arrival merge order was not)
+        from .agg import _key_tuple, _null_safe_change_mask
+
+        out_cols = [f.name for f in out_fields]
+        fin_cols = [f.name for f in (finalize_schema or [])]
+        sorted_partials = partials.repartition(*keys).sortWithinPartitions(
+            *keys
+        )
+
+        def merge_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cur: tuple | None = None
+            acc = None
+            rows_acc = 0
+
+            def finish_row():
+                row = list(cur) + [acc.to_bytes(), rows_acc]
+                if finalize is not None:
+                    fin = finalize(acc)
+                    row += [fin[c] for c in fin_cols]
+                return tuple(row)
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                kcols = [pdf[k] for k in keys]
+                change = _null_safe_change_mask(kcols)
+                blobs = pdf["sketch"]
+                rseen = pdf["rows_seen"]
+                done = []
+                for i in range(len(pdf)):
+                    if change[i]:
+                        key = _key_tuple(kcols, i)
+                        if cur is not None and key != cur:
+                            done.append(finish_row())
+                            acc = None
+                            rows_acc = 0
+                        cur = key
+                    s = spec["decode"](bytes(blobs.iloc[i]))
+                    acc = s if acc is None else acc.merge(s)
+                    rows_acc += int(rseen.iloc[i])
+                if done:
+                    yield pd.DataFrame(done, columns=out_cols)
+            if cur is not None:
+                yield pd.DataFrame([finish_row()], columns=out_cols)
+
+        return sorted_partials.mapInPandas(
+            merge_stream, schema=StructType(out_fields)
         )
 
     # empty-input seed (same contract as agg.py's _zero_partial_seed):

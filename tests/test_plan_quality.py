@@ -163,3 +163,18 @@ def test_sql_engine_keyed_assembly_is_batched(spark, events):
     assert "FlatMapGroupsInPandas" not in p
     assert p.count("Exchange") == 2  # partial-agg shuffle + key repartition
     assert "Sort" in p  # in-partition key contiguity for the stream carry
+
+
+def test_sketch_agg_keyed_merge_is_batched(spark, documents):
+    """The companion-sketch keyed merge must stream whole Arrow batches
+    (repartition + sort + MapInPandas with cross-batch carry), never one
+    applyInPandas python call per group — per-group call overhead is the
+    scale bottleneck at high key cardinality (same shape the HLL keyed
+    assembly was moved to in r2)."""
+    from js_hll_spark.spark.sketch_agg import approx_quantiles
+
+    p = plan(
+        approx_quantiles(documents, "n_chars", by=["lang"], qs=(0.5,))
+    )
+    assert "FlatMapGroupsInPandas" not in p
+    assert "MapInPandas" in p and "Sort" in p
