@@ -418,7 +418,68 @@ def hll_sketch(
         hashed, keys, estimate=estimate, keep_sketch=keep_sketch
     )
     if keys:
-        return partials.groupBy(*keys).applyInPandas(merge_fn, schema=schema)
+        # keyed merge: stream sorted Arrow batches through one python
+        # call with a cross-batch carry instead of one applyInPandas
+        # call per group (r4 — the same per-group-overhead fix as the
+        # sql engine's keyed assembly and the companion-sketch merge;
+        # measured 8.6x on the companion twin at 200k groups). Within a
+        # batch, per-run register maxima reduce VECTORIZED via
+        # np.maximum.reduceat over the stacked blob matrix.
+        out_cols = [f.name for f in schema.fields]
+        sorted_partials = partials.repartition(*keys).sortWithinPartitions(
+            *keys
+        )
+
+        def merge_stream(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            cur: tuple | None = None
+            acc: np.ndarray | None = None
+            rows_acc = 0
+
+            def finish_row():
+                row = list(cur)
+                if keep_sketch:
+                    s = HLL(config, explicit_threshold=0, sparse_on=False)
+                    s._regs = acc
+                    row.append(s.to_bytes())
+                if estimate:
+                    row.append(estimate_from_registers(acc, config))
+                row.append(rows_acc)
+                return tuple(row)
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                kcols = [pdf[k] for k in keys]
+                change = _null_safe_change_mask(kcols)
+                stacked = np.frombuffer(
+                    b"".join(pdf[_SKETCH_COL].tolist()), dtype=np.uint8
+                ).reshape(len(pdf), config.m)
+                rseen = pdf[_ROWS_COL].to_numpy()
+                starts = np.flatnonzero(change)
+                seg_max = np.maximum.reduceat(stacked, starts, axis=0)
+                seg_rows = np.add.reduceat(rseen, starts)
+                done = []
+                for j in range(len(starts)):
+                    key = _key_tuple(kcols, int(starts[j]))
+                    if cur is not None and key != cur:
+                        done.append(finish_row())
+                        acc = None
+                        rows_acc = 0
+                    cur = key
+                    seg = seg_max[j]
+                    if acc is None:
+                        acc = seg.copy()
+                    else:
+                        np.maximum(acc, seg, out=acc)
+                    rows_acc += int(seg_rows[j])
+                if done:
+                    yield pd.DataFrame(done, columns=out_cols)
+            if cur is not None:
+                yield pd.DataFrame([finish_row()], columns=out_cols)
+
+        return sorted_partials.mapInPandas(merge_stream, schema=schema)
     return partials.groupBy(F.lit(1).alias("__g")).applyInPandas(
         lambda pdf: merge_fn(pdf), schema=schema
     )
