@@ -194,6 +194,88 @@ def _zero_partial_seed(spark, config: HLLConfig, schema: StructType) -> DataFram
     return spark.range(1).mapInPandas(fn, schema=schema)
 
 
+def _stream_keyed_merge(
+    partials: DataFrame,
+    group_cols: Sequence[str],
+    *,
+    n_emit: int,
+    schema: StructType,
+    config: HLLConfig,
+    pack: bool,
+    keep_sketch: bool,
+    estimate: bool,
+) -> DataFrame:
+    """Keyed register-blob merge as a batched stream: sorted Arrow
+    batches flow through ONE python call with a cross-batch carry
+    instead of one applyInPandas call per group (r4 — the same
+    per-group-overhead fix as the sql engine's keyed assembly and the
+    companion-sketch merge; measured 8.6x on the companion twin at 200k
+    groups). Within a batch, per-run register maxima reduce VECTORIZED
+    via np.maximum.reduceat over the stacked blob matrix, so per-key
+    python work is one tuple append. ``n_emit`` keeps only the first n
+    group columns in the output (the tree-fanin intermediate groups on
+    keys + partition salt but emits keys only)."""
+    out_cols = [f.name for f in schema.fields]
+    group_cols = list(group_cols)
+    sorted_partials = partials.repartition(*group_cols).sortWithinPartitions(
+        *group_cols
+    )
+
+    def merge_stream(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        cur: tuple | None = None
+        acc: np.ndarray | None = None
+        rows_acc = 0
+
+        def finish_row():
+            row = list(cur[:n_emit])
+            if keep_sketch:
+                if pack:
+                    s = HLL(config, explicit_threshold=0, sparse_on=False)
+                    s._regs = acc
+                    row.append(s.to_bytes())
+                else:
+                    row.append(acc.tobytes())
+            if estimate:
+                row.append(estimate_from_registers(acc, config))
+            row.append(rows_acc)
+            return tuple(row)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            kcols = [pdf[k] for k in group_cols]
+            change = _null_safe_change_mask(kcols)
+            stacked = np.frombuffer(
+                b"".join(pdf[_SKETCH_COL].tolist()), dtype=np.uint8
+            ).reshape(len(pdf), config.m)
+            rseen = pdf[_ROWS_COL].to_numpy()
+            starts = np.flatnonzero(change)
+            seg_max = np.maximum.reduceat(stacked, starts, axis=0)
+            seg_rows = np.add.reduceat(rseen, starts)
+            done = []
+            for j in range(len(starts)):
+                key = _key_tuple(kcols, int(starts[j]))
+                if cur is not None and key != cur:
+                    done.append(finish_row())
+                    acc = None
+                    rows_acc = 0
+                cur = key
+                seg = seg_max[j]
+                if acc is None:
+                    acc = seg.copy()
+                else:
+                    np.maximum(acc, seg, out=acc)
+                rows_acc += int(seg_rows[j])
+            if done:
+                yield pd.DataFrame(done, columns=out_cols)
+        if cur is not None:
+            yield pd.DataFrame([finish_row()], columns=out_cols)
+
+    return sorted_partials.mapInPandas(merge_stream, schema=schema)
+
+
 def _make_merge_fn(
     keys: Sequence[str],
     config: HLLConfig,
@@ -400,15 +482,15 @@ def hll_sketch(
                 StructField(_ROWS_COL, LongType(), False),
             ]
         )
-        inter_fn = _make_merge_fn(
-            keys + [_PID_COL], config, estimate=False, keep_sketch=True, pack=False
-        )
-
-        def inter_fn_drop(pdf: pd.DataFrame) -> pd.DataFrame:
-            return inter_fn(pdf).drop(columns=[_PID_COL])
-
-        partials = salted.groupBy(*(keys + [_PID_COL])).applyInPandas(
-            inter_fn_drop, schema=inter_schema
+        partials = _stream_keyed_merge(
+            salted,
+            keys + [_PID_COL],
+            n_emit=len(keys),
+            schema=inter_schema,
+            config=config,
+            pack=False,
+            keep_sketch=True,
+            estimate=False,
         )
 
     merge_fn = _make_merge_fn(
@@ -418,68 +500,16 @@ def hll_sketch(
         hashed, keys, estimate=estimate, keep_sketch=keep_sketch
     )
     if keys:
-        # keyed merge: stream sorted Arrow batches through one python
-        # call with a cross-batch carry instead of one applyInPandas
-        # call per group (r4 — the same per-group-overhead fix as the
-        # sql engine's keyed assembly and the companion-sketch merge;
-        # measured 8.6x on the companion twin at 200k groups). Within a
-        # batch, per-run register maxima reduce VECTORIZED via
-        # np.maximum.reduceat over the stacked blob matrix.
-        out_cols = [f.name for f in schema.fields]
-        sorted_partials = partials.repartition(*keys).sortWithinPartitions(
-            *keys
+        return _stream_keyed_merge(
+            partials,
+            keys,
+            n_emit=len(keys),
+            schema=schema,
+            config=config,
+            pack=True,
+            keep_sketch=keep_sketch,
+            estimate=estimate,
         )
-
-        def merge_stream(
-            batches: Iterator[pd.DataFrame],
-        ) -> Iterator[pd.DataFrame]:
-            cur: tuple | None = None
-            acc: np.ndarray | None = None
-            rows_acc = 0
-
-            def finish_row():
-                row = list(cur)
-                if keep_sketch:
-                    s = HLL(config, explicit_threshold=0, sparse_on=False)
-                    s._regs = acc
-                    row.append(s.to_bytes())
-                if estimate:
-                    row.append(estimate_from_registers(acc, config))
-                row.append(rows_acc)
-                return tuple(row)
-
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                kcols = [pdf[k] for k in keys]
-                change = _null_safe_change_mask(kcols)
-                stacked = np.frombuffer(
-                    b"".join(pdf[_SKETCH_COL].tolist()), dtype=np.uint8
-                ).reshape(len(pdf), config.m)
-                rseen = pdf[_ROWS_COL].to_numpy()
-                starts = np.flatnonzero(change)
-                seg_max = np.maximum.reduceat(stacked, starts, axis=0)
-                seg_rows = np.add.reduceat(rseen, starts)
-                done = []
-                for j in range(len(starts)):
-                    key = _key_tuple(kcols, int(starts[j]))
-                    if cur is not None and key != cur:
-                        done.append(finish_row())
-                        acc = None
-                        rows_acc = 0
-                    cur = key
-                    seg = seg_max[j]
-                    if acc is None:
-                        acc = seg.copy()
-                    else:
-                        np.maximum(acc, seg, out=acc)
-                    rows_acc += int(seg_rows[j])
-                if done:
-                    yield pd.DataFrame(done, columns=out_cols)
-            if cur is not None:
-                yield pd.DataFrame([finish_row()], columns=out_cols)
-
-        return sorted_partials.mapInPandas(merge_stream, schema=schema)
     return partials.groupBy(F.lit(1).alias("__g")).applyInPandas(
         lambda pdf: merge_fn(pdf), schema=schema
     )

@@ -63,13 +63,20 @@ def test_broadcast_join_is_broadcast(spark):
 
 
 def test_merge_shuffle_carries_sketches_not_rows(spark, events):
-    """python engine: the only Exchange sits above MapInPandas — it
-    shuffles partial sketches, never raw rows."""
+    """python engine: the only Exchange shuffles partial sketches, never
+    raw rows — it sits between the partial MapInPandas (below) and the
+    batched merge MapInPandas (above; r4 replaced the per-group
+    applyInPandas merge), with the in-partition Sort for the stream's
+    group-boundary carry."""
     p = plan(
         hll_sketch(events, "user_id", by=["event_type"], log2m=12, engine="python")
     )
     assert p.count("Exchange") == 1
-    assert p.index("Exchange") < p.index("MapInPandas")  # plans print top-down
+    assert p.count("MapInPandas") == 2
+    assert "FlatMapGroupsInPandas" not in p
+    # plans print top-down: merge MapInPandas, Sort, Exchange, partial
+    first_map = p.index("MapInPandas")
+    assert first_map < p.index("Exchange") < p.index("MapInPandas", first_map + 1)
 
 
 def test_sql_engine_partial_aggregates_before_shuffle(spark, events):
