@@ -194,6 +194,54 @@ def _zero_partial_seed(spark, config: HLLConfig, schema: StructType) -> DataFram
     return spark.range(1).mapInPandas(fn, schema=schema)
 
 
+def keyed_carry_stream(partials, group_cols, schema, *, prepare, fold, finish):
+    """The sorted-stream-with-carry skeleton shared by the r4 batched
+    keyed merges (HLL register merge, tree-fanin intermediate, and the
+    companion-sketch merge in sketch_agg) — ONE implementation of the
+    subtle part: null-safe group boundaries, per-segment folding, the
+    cross-Arrow-batch carry, the end-of-iterator flush. (The r3
+    NaN!=NaN null-group-split bug lived exactly in this skeleton; the
+    legacy assembly/rollup streams in this file predate the helper and
+    keep their own proven per-row variants.)
+
+    ``prepare(pdf) -> batch_ctx`` runs once per Arrow batch (vectorized
+    extraction); ``fold(state_or_None, batch_ctx, start, end) -> state``
+    folds one contiguous same-key run; ``finish(key_tuple, state) ->
+    row tuple`` emits a completed group. NaN/NaT keys surface as None
+    in the key tuple (null-group convention shared with hll_sketch)."""
+    out_cols = [f.name for f in schema.fields]
+    group_cols = list(group_cols)
+    sorted_partials = partials.repartition(*group_cols).sortWithinPartitions(
+        *group_cols
+    )
+
+    def stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur: tuple | None = None
+        state = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            kcols = [pdf[k] for k in group_cols]
+            change = _null_safe_change_mask(kcols)
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(pdf))
+            ctx = prepare(pdf)
+            done = []
+            for j in range(len(starts)):
+                key = _key_tuple(kcols, int(starts[j]))
+                if cur is not None and key != cur:
+                    done.append(finish(cur, state))
+                    state = None
+                cur = key
+                state = fold(state, ctx, int(starts[j]), int(ends[j]))
+            if done:
+                yield pd.DataFrame(done, columns=out_cols)
+        if cur is not None:
+            yield pd.DataFrame([finish(cur, state)], columns=out_cols)
+
+    return sorted_partials.mapInPandas(stream, schema=schema)
+
+
 def _stream_keyed_merge(
     partials: DataFrame,
     group_cols: Sequence[str],
@@ -205,75 +253,49 @@ def _stream_keyed_merge(
     keep_sketch: bool,
     estimate: bool,
 ) -> DataFrame:
-    """Keyed register-blob merge as a batched stream: sorted Arrow
-    batches flow through ONE python call with a cross-batch carry
-    instead of one applyInPandas call per group (r4 — the same
-    per-group-overhead fix as the sql engine's keyed assembly and the
-    companion-sketch merge; measured 8.6x on the companion twin at 200k
-    groups). Within a batch, per-run register maxima reduce VECTORIZED
-    via np.maximum.reduceat over the stacked blob matrix, so per-key
-    python work is one tuple append. ``n_emit`` keeps only the first n
-    group columns in the output (the tree-fanin intermediate groups on
-    keys + partition salt but emits keys only)."""
-    out_cols = [f.name for f in schema.fields]
-    group_cols = list(group_cols)
-    sorted_partials = partials.repartition(*group_cols).sortWithinPartitions(
-        *group_cols
+    """Keyed register-blob merge as a batched stream — one python call
+    per Arrow batch instead of one applyInPandas call per group (r4;
+    measured 8.6x on the companion twin at 200k groups). Per-run
+    register maxima reduce VECTORIZED via np.maximum.reduceat over the
+    stacked blob matrix, so per-key python work is one tuple append.
+    ``n_emit`` keeps only the first n group columns in the output (the
+    tree-fanin intermediate groups on keys + partition salt but emits
+    keys only)."""
+
+    def prepare(pdf):
+        stacked = np.frombuffer(
+            b"".join(pdf[_SKETCH_COL].tolist()), dtype=np.uint8
+        ).reshape(len(pdf), config.m)
+        return stacked, pdf[_ROWS_COL].to_numpy()
+
+    def fold(state, ctx, start, end):
+        stacked, rseen = ctx
+        seg = np.maximum.reduce(stacked[start:end])
+        rows = int(rseen[start:end].sum())
+        if state is None:
+            return seg.copy(), rows
+        acc, rows_acc = state
+        np.maximum(acc, seg, out=acc)
+        return acc, rows_acc + rows
+
+    def finish(key, state):
+        acc, rows_acc = state
+        row = list(key[:n_emit])
+        if keep_sketch:
+            if pack:
+                s = HLL(config, explicit_threshold=0, sparse_on=False)
+                s._regs = acc
+                row.append(s.to_bytes())
+            else:
+                row.append(acc.tobytes())
+        if estimate:
+            row.append(estimate_from_registers(acc, config))
+        row.append(rows_acc)
+        return tuple(row)
+
+    return keyed_carry_stream(
+        partials, group_cols, schema, prepare=prepare, fold=fold, finish=finish
     )
-
-    def merge_stream(
-        batches: Iterator[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
-        cur: tuple | None = None
-        acc: np.ndarray | None = None
-        rows_acc = 0
-
-        def finish_row():
-            row = list(cur[:n_emit])
-            if keep_sketch:
-                if pack:
-                    s = HLL(config, explicit_threshold=0, sparse_on=False)
-                    s._regs = acc
-                    row.append(s.to_bytes())
-                else:
-                    row.append(acc.tobytes())
-            if estimate:
-                row.append(estimate_from_registers(acc, config))
-            row.append(rows_acc)
-            return tuple(row)
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            kcols = [pdf[k] for k in group_cols]
-            change = _null_safe_change_mask(kcols)
-            stacked = np.frombuffer(
-                b"".join(pdf[_SKETCH_COL].tolist()), dtype=np.uint8
-            ).reshape(len(pdf), config.m)
-            rseen = pdf[_ROWS_COL].to_numpy()
-            starts = np.flatnonzero(change)
-            seg_max = np.maximum.reduceat(stacked, starts, axis=0)
-            seg_rows = np.add.reduceat(rseen, starts)
-            done = []
-            for j in range(len(starts)):
-                key = _key_tuple(kcols, int(starts[j]))
-                if cur is not None and key != cur:
-                    done.append(finish_row())
-                    acc = None
-                    rows_acc = 0
-                cur = key
-                seg = seg_max[j]
-                if acc is None:
-                    acc = seg.copy()
-                else:
-                    np.maximum(acc, seg, out=acc)
-                rows_acc += int(seg_rows[j])
-            if done:
-                yield pd.DataFrame(done, columns=out_cols)
-        if cur is not None:
-            yield pd.DataFrame([finish_row()], columns=out_cols)
-
-    return sorted_partials.mapInPandas(merge_stream, schema=schema)
 
 
 def _make_merge_fn(
@@ -493,9 +515,6 @@ def hll_sketch(
             estimate=False,
         )
 
-    merge_fn = _make_merge_fn(
-        keys, config, estimate=estimate, keep_sketch=keep_sketch, pack=True
-    )
     schema = _merge_schema(
         hashed, keys, estimate=estimate, keep_sketch=keep_sketch
     )
@@ -510,6 +529,9 @@ def hll_sketch(
             keep_sketch=keep_sketch,
             estimate=estimate,
         )
+    merge_fn = _make_merge_fn(
+        keys, config, estimate=estimate, keep_sketch=keep_sketch, pack=True
+    )
     return partials.groupBy(F.lit(1).alias("__g")).applyInPandas(
         lambda pdf: merge_fn(pdf), schema=schema
     )

@@ -228,53 +228,39 @@ def sketch_agg(
         # group — per-group call overhead dominates at high key
         # cardinality (the same fix the HLL engine's keyed assembly got
         # in r2; the scan order is deterministic, which the old
-        # shuffle-arrival merge order was not)
-        from .agg import _key_tuple, _null_safe_change_mask
+        # shuffle-arrival merge order was not). NaN/NaT group keys are
+        # emitted as NULL (the null-group convention shared with
+        # hll_sketch — they were already one group pandas-side).
+        from .agg import keyed_carry_stream
 
-        out_cols = [f.name for f in out_fields]
         fin_cols = [f.name for f in (finalize_schema or [])]
-        sorted_partials = partials.repartition(*keys).sortWithinPartitions(
-            *keys
-        )
 
-        def merge_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            cur: tuple | None = None
-            acc = None
-            rows_acc = 0
+        def prepare(pdf):
+            return pdf["sketch"].to_numpy(), pdf["rows_seen"].to_numpy()
 
-            def finish_row():
-                row = list(cur) + [acc.to_bytes(), rows_acc]
-                if finalize is not None:
-                    fin = finalize(acc)
-                    row += [fin[c] for c in fin_cols]
-                return tuple(row)
+        def fold(state, ctx, start, end):
+            blobs, rseen = ctx
+            acc, rows_acc = state if state is not None else (None, 0)
+            for i in range(start, end):
+                s = spec["decode"](bytes(blobs[i]))
+                acc = s if acc is None else acc.merge(s)
+            return acc, rows_acc + int(rseen[start:end].sum())
 
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                kcols = [pdf[k] for k in keys]
-                change = _null_safe_change_mask(kcols)
-                blobs = pdf["sketch"]
-                rseen = pdf["rows_seen"]
-                done = []
-                for i in range(len(pdf)):
-                    if change[i]:
-                        key = _key_tuple(kcols, i)
-                        if cur is not None and key != cur:
-                            done.append(finish_row())
-                            acc = None
-                            rows_acc = 0
-                        cur = key
-                    s = spec["decode"](bytes(blobs.iloc[i]))
-                    acc = s if acc is None else acc.merge(s)
-                    rows_acc += int(rseen.iloc[i])
-                if done:
-                    yield pd.DataFrame(done, columns=out_cols)
-            if cur is not None:
-                yield pd.DataFrame([finish_row()], columns=out_cols)
+        def finish(key, state):
+            acc, rows_acc = state
+            row = list(key) + [acc.to_bytes(), rows_acc]
+            if finalize is not None:
+                fin = finalize(acc)
+                row += [fin[c] for c in fin_cols]
+            return tuple(row)
 
-        return sorted_partials.mapInPandas(
-            merge_stream, schema=StructType(out_fields)
+        return keyed_carry_stream(
+            partials,
+            keys,
+            StructType(out_fields),
+            prepare=prepare,
+            fold=fold,
+            finish=finish,
         )
 
     # empty-input seed (same contract as agg.py's _zero_partial_seed):

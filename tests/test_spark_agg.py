@@ -638,3 +638,66 @@ def test_murmur3_rejects_float_columns(spark):
     for engine in ("python", "explicit"):
         with _pytest.raises(ValueError, match="integral/string/binary"):
             hll_sketch(df, "v", hash_method="murmur3", engine=engine)
+
+
+def test_keyed_tree_fanin_equals_flat(spark, events):
+    """The tree-fanin intermediate's KEYED path (group on keys + salt,
+    emit keys only) must be byte-identical to the flat keyed merge —
+    test_tree_merge_equals_flat covers only the global case."""
+    flat = {
+        r["event_type"]: (bytes(r["sketch"]), r["ndv"], r["rows_seen"])
+        for r in hll_sketch(
+            events, "user_id", by=["event_type"], log2m=11,
+            tree_fanin=0, engine="python",
+        ).collect()
+    }
+    tree = {
+        r["event_type"]: (bytes(r["sketch"]), r["ndv"], r["rows_seen"])
+        for r in hll_sketch(
+            events, "user_id", by=["event_type"], log2m=11,
+            tree_fanin=3, engine="python",
+        ).collect()
+    }
+    assert flat == tree
+
+
+def test_keyed_merge_carry_across_tiny_arrow_batches(spark, events):
+    """The batched keyed merges carry group state across Arrow batch
+    boundaries: forcing 7-row batches must change nothing — for the HLL
+    python-engine merge (byte-identical sketches) AND the companion
+    keyed merge (identical quantiles/rows), including a null group key."""
+    import pyspark.sql.functions as F
+
+    from js_hll_spark.spark.sketch_agg import approx_quantiles
+
+    ev = events.withColumn(
+        "g", F.when(F.col("user_id") % 7 == 0, None).otherwise(
+            F.col("user_id") % 13
+        )
+    )
+
+    def snapshot():
+        hll = {
+            r["g"]: (bytes(r["sketch"]), r["ndv"], r["rows_seen"])
+            for r in hll_sketch(
+                ev, "event_id", by=["g"], log2m=10, engine="python"
+            ).collect()
+        }
+        q = {
+            r["g"]: r["q50"]
+            for r in approx_quantiles(
+                ev, "value", by=["g"], qs=(0.5,), method="kll",
+                params={"k": 4096},
+            ).collect()
+        }
+        return hll, q
+
+    normal = snapshot()
+    small = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        tiny = snapshot()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", small)
+    assert tiny == normal
+    assert None in normal[0]  # the null group survived
