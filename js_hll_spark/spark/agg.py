@@ -940,41 +940,28 @@ def hll_rollup(
     # keyed rollup: stream whole Arrow batches through one python call
     # (hash repartition + in-partition sort, union with carry across
     # batch boundaries) instead of one applyInPandas call per group —
-    # per-group call overhead dominates at high rollup-key cardinality
-    out_cols = [f.name for f in fields]
-    sorted_df = df.select(*keys, sketch_col).repartition(*keys).sortWithinPartitions(
-        *keys
+    # per-group call overhead dominates at high rollup-key cardinality.
+    # Shares the carry skeleton with the register/companion merges (r4).
+    def prepare(pdf):
+        return pdf[sketch_col].to_numpy()
+
+    def fold(acc, blobs, start, end):
+        for i in range(start, end):
+            s = HLL.from_bytes(bytes(blobs[i]))
+            acc = s if acc is None else acc.union(s)
+        return acc
+
+    def finish(key, acc):
+        row = list(key) + [acc.to_bytes()]
+        if estimate:
+            row.append(acc.algorithm_cardinality())
+        return tuple(row)
+
+    return keyed_carry_stream(
+        df.select(*keys, sketch_col),
+        keys,
+        StructType(fields),
+        prepare=prepare,
+        fold=fold,
+        finish=finish,
     )
-
-    def stream(batches):
-        cur: tuple | None = None
-        acc: HLL | None = None
-
-        def finish_row():
-            row = list(cur) + [acc.to_bytes()]
-            if estimate:
-                row.append(acc.algorithm_cardinality())
-            return tuple(row)
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            kcols = [pdf[k] for k in keys]
-            change = _null_safe_change_mask(kcols)
-            done = []
-            blobs = pdf[sketch_col]
-            for i in range(len(pdf)):
-                if change[i]:
-                    key = _key_tuple(kcols, i)
-                    if cur is not None and key != cur:
-                        done.append(finish_row())
-                        acc = None
-                    cur = key
-                s = HLL.from_bytes(bytes(blobs.iloc[i]))
-                acc = s if acc is None else acc.union(s)
-            if done:
-                yield pd.DataFrame(done, columns=out_cols)
-        if cur is not None:
-            yield pd.DataFrame([finish_row()], columns=out_cols)
-
-    return sorted_df.mapInPandas(stream, schema=StructType(fields))
