@@ -777,56 +777,40 @@ def hll_sketch_sql(
     # groups x 2 ms = half a python-hour on one stage). Same shuffle
     # count as groupBy (hash repartition + in-partition sort); registers
     # and estimates go through the identical numpy code, so outputs stay
-    # bit-identical to the per-group path (tested).
-    sorted_regs = per_register.repartition(*keys).sortWithinPartitions(*keys)
-    out_cols = [f.name for f in fields]
+    # bit-identical to the per-group path (tested). Shares the carry
+    # skeleton with the register/companion/rollup merges (r4).
+    def prepare(pdf):
+        return (
+            pdf["__idx"].to_numpy(),
+            pdf["__val"].to_numpy(),
+            pdf["__n"].to_numpy(),
+        )
 
-    def assemble_stream(batches):
-        cur: tuple | None = None
-        regs = None
-        nsum = 0
+    def fold(state, ctx, start, end):
+        idx_a, val_a, n_a = ctx
+        if state is None:
+            state = (np.zeros(config.m, dtype=np.uint8), 0)
+        regs, nsum = state
+        # (key, idx) rows are unique post-agg; a key straddling two
+        # batches contributes disjoint idx sets -> assignment
+        regs[idx_a[start:end]] = val_a[start:end]
+        return regs, nsum + int(n_a[start:end].sum())
 
-        def finish_row():
-            row = list(cur)
-            if keep_sketch:
-                s = HLL(config, explicit_threshold=0, sparse_on=False)
-                s._regs = regs
-                row.append(s.to_bytes())
-            if estimate:
-                row.append(estimate_from_registers(regs, config))
-            row.append(nsum)
-            return tuple(row)
+    def finish(key, state):
+        regs, nsum = state
+        row = list(key)
+        if keep_sketch:
+            s = HLL(config, explicit_threshold=0, sparse_on=False)
+            s._regs = regs
+            row.append(s.to_bytes())
+        if estimate:
+            row.append(estimate_from_registers(regs, config))
+        row.append(nsum)
+        return tuple(row)
 
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            idx_a = pdf["__idx"].to_numpy()
-            val_a = pdf["__val"].to_numpy()
-            n_a = pdf["__n"].to_numpy()
-            kcols = [pdf[k] for k in keys]
-            change = _null_safe_change_mask(kcols)
-            starts = np.flatnonzero(change)
-            ends = np.append(starts[1:], len(pdf))
-            done = []
-            for s0, e0 in zip(starts, ends):
-                key = _key_tuple(kcols, s0)
-                if cur is not None and key != cur:
-                    done.append(finish_row())
-                    regs = None
-                if regs is None:
-                    cur = key
-                    regs = np.zeros(config.m, dtype=np.uint8)
-                    nsum = 0
-                # (key, idx) rows are unique post-agg; a key straddling
-                # two batches contributes disjoint idx sets -> assignment
-                regs[idx_a[s0:e0]] = val_a[s0:e0]
-                nsum += int(n_a[s0:e0].sum())
-            if done:
-                yield pd.DataFrame(done, columns=out_cols)
-        if cur is not None:
-            yield pd.DataFrame([finish_row()], columns=out_cols)
-
-    return sorted_regs.mapInPandas(assemble_stream, schema=schema)
+    return keyed_carry_stream(
+        per_register, keys, schema, prepare=prepare, fold=fold, finish=finish
+    )
 
 
 def hll_ndv(
