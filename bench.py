@@ -24,6 +24,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 def main() -> None:
     from js_hll_spark.queries import QUERIES
     from js_hll_spark.spark.agg import hll_ndv, hll_sketch
+    from js_hll_spark.spark.blocks import persistent_rdd_ids, unpersist_blocks
     from js_hll_spark.spark.session import get_spark
 
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
@@ -42,6 +43,15 @@ def main() -> None:
     # startup (~2-3 s fixed); throughput numbers should not include it
     hll_ndv(lineitem.limit(50_000), "l_orderkey", log2m=10).collect()
 
+    # block hygiene (VERDICT r4 #1): composed dedup/cube queries pin
+    # localCheckpoint blocks that NOTHING releases — across 3 reps x 27
+    # queries in one JVM they accumulate until later queries degrade
+    # 2-4x (r4 artifact: dedup_clusters 3.3->14.2 s, ann_bruteforce
+    # 2.1x). Sweep retired blocks after every rep, protecting the
+    # cached input tables by persistent-RDD id (a blanket sweep would
+    # silently uncache them for the rest of the run).
+    keep = {"ids": persistent_rdd_ids(spark)}
+
     def timed(fn):
         t0 = time.perf_counter()
         fn()
@@ -50,8 +60,11 @@ def main() -> None:
     def median3(fn):
         # single-shot timings on this box vary +-40% with host load;
         # medians make round-over-round comparisons signal, not noise
-        ts = sorted(timed(fn) for _ in range(3))
-        return ts[1]
+        ts = []
+        for _ in range(3):
+            ts.append(timed(fn))
+            unpersist_blocks(spark, keep["ids"])
+        return sorted(ts)[1]
 
     results: dict[str, float] = {}
 
@@ -71,6 +84,7 @@ def main() -> None:
         spark, n_flagship, partitions=int(CPUS) * 4, columns=("url", "lang")
     ).cache()
     n_pages = pages.count()  # materializes the cache, untimed
+    keep["ids"] = persistent_rdd_ids(spark)  # protect pages too
 
     results["webtext_ndv_url"] = median3(
         lambda: hll_ndv(pages, "url", log2m=13).collect()
@@ -80,6 +94,7 @@ def main() -> None:
     )
     webtext_docs_per_sec = n_pages / results["webtext_ndv_url"]
     pages.unpersist()
+    keep["ids"] = persistent_rdd_ids(spark)  # pages retired from the keep set
     results["hll_ndv_grouped"] = median3(
         lambda: hll_sketch(
             lineitem, "l_partkey", by=["l_returnflag", "l_linestatus"], log2m=13

@@ -380,7 +380,88 @@ def _pq_encode(
     return codes
 
 
-def _query_luts_one_row(
+def _chunk_rows_for(m_sub: int, ksub: int, chunk_bytes: int) -> int:
+    """Queries per LUT chunk so one chunk row stays under ``chunk_bytes``
+    (a LUT is m_sub*ksub float64s per query)."""
+    return max(1, int(chunk_bytes) // (m_sub * ksub * 8))
+
+
+def _lut_chunk_table(
+    per_query: DataFrame,
+    *,
+    m_sub: int,
+    ksub: int,
+    chunk_bytes: int,
+) -> DataFrame:
+    """Collapse a per-query (query_id, __lut) table into BOUNDED chunk
+    rows (__chunk, __q: array<struct<query_id, __lut>>) for a broadcast
+    cross join.
+
+    The earlier one-row collapse (collect_list over ALL queries) made
+    the blob size |Q| * m_sub * ksub * 8 bytes in a single row — past
+    ~2 GB that is a hard Arrow/row-size failure, so a large query set
+    crashed instead of degrading. Chunk rows cap each row at
+    ``chunk_bytes`` (the total broadcast still scales with |Q|, which is
+    the intended contract: the query set is the small side by design,
+    and Spark's broadcast machinery handles multi-row tables far more
+    gracefully than single giant rows). Chunk ids are unique across
+    partitions (partitionId * 2^32 + local index); scoring caches the
+    parsed numpy LUTs per chunk id. An empty query table yields zero
+    rows, which the cross join turns into an empty (declared-schema)
+    result."""
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    rows_per_chunk = _chunk_rows_for(m_sub, ksub, chunk_bytes)
+    qid_dt = per_query.schema["query_id"].dataType
+    chunk_schema = StructType(
+        [
+            StructField("__chunk", LongType(), False),
+            StructField(
+                "__q",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("query_id", qid_dt, False),
+                            StructField("__lut", ArrayType(DoubleType()), False),
+                        ]
+                    )
+                ),
+                False,
+            ),
+        ]
+    )
+
+    def chunk_fn(batches):
+        pid = TaskContext.get().partitionId()
+        local = 0
+        for pdf in batches:
+            for s in range(0, len(pdf), rows_per_chunk):
+                part = pdf.iloc[s : s + rows_per_chunk]
+                yield pd.DataFrame(
+                    {
+                        "__chunk": [(pid << 32) | local],
+                        "__q": [
+                            [
+                                {"query_id": q, "__lut": list(l)}
+                                for q, l in zip(part["query_id"], part["__lut"])
+                            ]
+                        ],
+                    }
+                )
+                local += 1
+
+    return per_query.mapInPandas(chunk_fn, schema=chunk_schema)
+
+
+def _query_lut_chunks(
     queries: DataFrame,
     id_col: str,
     vec_col: str,
@@ -388,15 +469,15 @@ def _query_luts_one_row(
     books: np.ndarray,
     m_sub: int,
     dsub: int,
+    ksub: int,
+    chunk_bytes: int,
 ) -> DataFrame:
     """Per-query ADC lookup tables, computed EXECUTOR-side (mapInPandas
     over the query DataFrame — the driver never collects a query vector)
-    and collapsed to a single row of (query_id, lut) structs for a
-    one-row broadcast cross join. LUT[m, c] = dot(q_sub_m, codeword_mc):
+    and collapsed into bounded chunk rows (see :func:`_lut_chunk_table`)
+    for the broadcast cross join. LUT[m, c] = dot(q_sub_m, codeword_mc):
     exact per-subspace dots, so ADC error comes only from vector
-    quantization. An empty query table yields one row holding an empty
-    list, which scoring treats as no-op (empty result, declared schema
-    — the r3 ADVICE empty-input crash)."""
+    quantization."""
     import pandas as pd
     from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
@@ -423,11 +504,11 @@ def _query_luts_one_row(
                 }
             )
 
-    q_luts = queries.select(
+    per_query = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     ).mapInPandas(lut_fn, schema=lut_schema)
-    return q_luts.agg(
-        F.collect_list(F.struct("query_id", "__lut")).alias("__q")
+    return _lut_chunk_table(
+        per_query, m_sub=m_sub, ksub=ksub, chunk_bytes=chunk_bytes
     )
 
 
@@ -444,6 +525,7 @@ def ann_pq(
     train_sample: int = 4096,
     iters: int = 8,
     round_to: int = 5,
+    lut_chunk_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Product-quantization cosine top-k — the MEMORY tier of the ANN
     family (FAISS-style PQ): vectors L2-normalize, each of ``m_sub``
@@ -459,11 +541,13 @@ def ann_pq(
     Training is the one bounded driver-side action (the standard PQ
     train step, same contract as ann_ivf's quantizer). Queries stay a
     DataFrame end to end (VERDICT r3 #4): per-query LUTs are computed
-    executor-side by a mapInPandas over the query table, collapsed to a
-    single broadcast row (the repo's one-row-blob pattern), and crossed
-    ONCE with batch-collapsed code blobs — so scoring still runs as a
-    numpy LUT scan with per-batch local top-k, and the driver never
-    materializes a query vector. Returns (query_id, neighbor_id, adc,
+    executor-side by a mapInPandas over the query table, collapsed into
+    broadcast chunk rows of at most ``lut_chunk_bytes`` each (a single
+    collapsed row used to hit Spark's ~2 GB Arrow/row hard limits on
+    large query sets — r4 ADVICE), and crossed ONCE with
+    batch-collapsed code blobs — so scoring still runs as a numpy LUT
+    scan with per-batch local top-k, and the driver never materializes
+    a query vector. Returns (query_id, neighbor_id, adc,
     rank) — adc approximates the cosine of normalized vectors; rank
     quality is carried by recall_at_k in the registry."""
     import pandas as pd
@@ -481,8 +565,15 @@ def ann_pq(
     dsub = dim // m_sub
     code_dt = np.uint8 if ksub <= 256 else np.uint16
 
-    q_one = _query_luts_one_row(
-        queries, id_col, vec_col, books=books, m_sub=m_sub, dsub=dsub
+    q_chunks = _query_lut_chunks(
+        queries,
+        id_col,
+        vec_col,
+        books=books,
+        m_sub=m_sub,
+        dsub=dsub,
+        ksub=ksub,
+        chunk_bytes=lut_chunk_bytes,
     )
 
     # ---- vector side: encode once, one compact blob row per Arrow batch
@@ -523,22 +614,21 @@ def ann_pq(
 
     def score_fn(batches):
         rng = np.arange(m_sub)
-        # the broadcast __q list is identical on every blob row of the
-        # cross join — parse the (query_id, lut) structs to numpy once
-        # per task (score_fn runs once per partition), not per row
-        parsed: list = []
+        # every chunk row recurs on each blob row of the cross join —
+        # parse each chunk's (query_id, lut) structs to numpy once per
+        # task (keyed by chunk id), not per row
+        parsed: dict = {}
         for pdf in batches:
-            for _, row in pdf.iterrows():  # blob rows: one per input batch
+            for _, row in pdf.iterrows():  # rows: (vector blob x LUT chunk)
                 qlist = row["__q"]
                 if qlist is None or not len(qlist):
                     continue
-                if not parsed:
-                    parsed.append(
-                        [
-                            (q["query_id"], np.asarray(q["__lut"]).reshape(m_sub, ksub))
-                            for q in qlist
-                        ]
-                    )
+                cid = row["__chunk"]
+                if cid not in parsed:
+                    parsed[cid] = [
+                        (q["query_id"], np.asarray(q["__lut"]).reshape(m_sub, ksub))
+                        for q in qlist
+                    ]
                 ids = np.asarray(row["__ids"])
                 codes = (
                     np.frombuffer(row["__codes"], dtype=code_dt)
@@ -546,7 +636,7 @@ def ann_pq(
                     .astype(np.int64)
                 )
                 parts = []
-                for qid, lut in parsed[0]:
+                for qid, lut in parsed[cid]:
                     # ADC score = sum over subspaces of LUT[code]
                     s = lut[rng[None, :], codes].sum(axis=1)
                     mask = ids != qid
@@ -565,7 +655,7 @@ def ann_pq(
                 if parts:
                     yield pd.concat(parts, ignore_index=True)
 
-    scored = v_blobs.crossJoin(F.broadcast(q_one)).mapInPandas(
+    scored = v_blobs.crossJoin(F.broadcast(q_chunks)).mapInPandas(
         score_fn, schema=out_schema
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
@@ -592,6 +682,7 @@ def ann_ivfpq(
     train_sample: int = 4096,
     iters: int = 8,
     round_to: int = 5,
+    lut_chunk_bytes: int = 64 << 20,
 ) -> DataFrame:
     """IVF + PQ — the standard composed index (FAISS IVFPQ shape): a
     coarse spherical-k-means quantizer prunes candidates to ``nprobe``
@@ -605,8 +696,10 @@ def ann_ivfpq(
     Queries stay a DataFrame end to end (VERDICT r3 #4): probe lists AND
     ADC LUTs are computed executor-side by one mapInPandas over the
     query table; the probe pairs broadcast-join the encoded vectors, and
-    the LUTs reach scoring as a single collapsed broadcast row crossed
-    once with batch-collapsed candidate blobs. Empty query tables flow
+    the LUTs reach scoring as bounded broadcast chunk rows (at most
+    ``lut_chunk_bytes`` each — the single-row collapse hit Spark's
+    ~2 GB Arrow/row limits on large query sets) crossed once with
+    batch-collapsed candidate blobs. Empty query tables flow
     through as empty results with the declared schema (r3 ADVICE crash).
     Returns (query_id, neighbor_id, adc, rank)."""
     import pandas as pd
@@ -667,8 +760,11 @@ def ann_ivfpq(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     ).mapInPandas(q_fn, schema=q_schema).localCheckpoint()
     q_lists = q_side.select("query_id", F.explode("__lists").alias("list_id"))
-    q_one = q_side.agg(
-        F.collect_list(F.struct("query_id", "__lut")).alias("__q")
+    q_chunks = _lut_chunk_table(
+        q_side.select("query_id", "__lut"),
+        m_sub=m_sub,
+        ksub=ksub,
+        chunk_bytes=lut_chunk_bytes,
     )
 
     # one pass assigns the list AND encodes: only (id, list_id, codes)
@@ -740,23 +836,26 @@ def ann_ivfpq(
 
     def adc_fn(batches):
         rng = np.arange(m_sub)
-        # parse the (identical) broadcast LUT list once per task
+        # parse each broadcast LUT chunk once per task (keyed by chunk
+        # id). A candidate blob row pairs with EVERY chunk; each pair
+        # scores only the candidates whose query lives in that chunk —
+        # chunks partition the query set, so every candidate is scored
+        # exactly once across the cross join.
         cache: dict = {}
         for pdf in batches:
-            for _, row in pdf.iterrows():  # blob rows: one per input batch
+            for _, row in pdf.iterrows():  # rows: (candidate blob x chunk)
                 qlist = row["__q"]
                 if qlist is None or not len(qlist):
                     continue
-                if not cache:
-                    cache.update(
-                        {
-                            qr["query_id"]: np.asarray(qr["__lut"]).reshape(
-                                m_sub, ksub
-                            )
-                            for qr in qlist
-                        }
-                    )
-                lut_by_qid = cache
+                cid = row["__chunk"]
+                if cid not in cache:
+                    cache[cid] = {
+                        qr["query_id"]: np.asarray(qr["__lut"]).reshape(
+                            m_sub, ksub
+                        )
+                        for qr in qlist
+                    }
+                lut_by_qid = cache[cid]
                 qcol = np.asarray(row["__qids"])
                 nids = np.asarray(row["__nids"])
                 codes = (
@@ -765,18 +864,26 @@ def ann_ivfpq(
                     .astype(np.int64)
                 )
                 out = np.empty(len(qcol))
+                hit = np.zeros(len(qcol), dtype=bool)
                 for qid in pd.unique(qcol):
+                    lut = lut_by_qid.get(qid)
+                    if lut is None:
+                        continue  # query belongs to another chunk
                     mask = qcol == qid
-                    out[mask] = lut_by_qid[qid][rng[None, :], codes[mask]].sum(
-                        axis=1
+                    hit |= mask
+                    out[mask] = lut[rng[None, :], codes[mask]].sum(axis=1)
+                if hit.any():
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qcol[hit],
+                            "neighbor_id": nids[hit],
+                            "adc": out[hit],
+                        }
                     )
-                yield pd.DataFrame(
-                    {"query_id": qcol, "neighbor_id": nids, "adc": out}
-                )
 
     scored = (
         cand.mapInPandas(blobify, schema=blob_schema)
-        .crossJoin(F.broadcast(q_one))
+        .crossJoin(F.broadcast(q_chunks))
         .mapInPandas(adc_fn, schema=score_schema)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))

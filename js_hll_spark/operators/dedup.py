@@ -61,6 +61,8 @@ def shingle_postings(
     *,
     shingle_n: int = 3,
     materialize: bool = True,
+    stage_runner=None,
+    stage_name: str = "shingle_postings",
 ) -> DataFrame:
     """The shared first stage of every shingle-based dedup tier: the
     exploded DISTINCT ``(__id, sh)`` posting table, materialized ONCE.
@@ -80,6 +82,15 @@ def shingle_postings(
     is duplicate-insensitive, so both tiers derive unchanged results
     from the deduplicated postings (the md5/DuckDB oracles, which take
     ``list_min`` over the full shingle list, agree for the same reason).
+
+    ``stage_runner`` (a :class:`js_hll_spark.plans.checkpoint.StageRunner`)
+    swaps the executor-pinned ``localCheckpoint`` for a DURABLE parquet
+    stage named ``stage_name`` with a lineage manifest: fault-tolerant
+    (an executor loss re-reads the files instead of killing the query —
+    localCheckpoint blocks have no lineage to recompute from) and
+    resumable across driver restarts — the materialization story a real
+    1000-executor run needs. Results are identical either way (pinned by
+    ``tests/test_operators.py::test_durable_posting_stage``).
     """
     ex = df.select(
         F.col(id_col).alias("__id"),
@@ -87,6 +98,8 @@ def shingle_postings(
             F.array_distinct(shingles(F.col(text_col), shingle_n))
         ).alias("sh"),
     )
+    if stage_runner is not None:
+        return stage_runner.run(stage_name, lambda: ex)
     return _mat(ex) if materialize else ex
 
 
@@ -101,8 +114,19 @@ def _mat(df: DataFrame) -> DataFrame:
     run that killed an 8 GB driver under this level was root-caused to
     checkpoint blocks ACCUMULATING across benchmark repetitions (no
     unpersist between reps), not to the block format — callers that
-    loop dedup jobs in one long-lived session should unpersist retired
-    checkpoints (see tools/bench_dedup_axis.py::_clear_checkpoints)."""
+    loop dedup jobs in one long-lived session must sweep retired
+    checkpoints between iterations:
+
+        from js_hll_spark.spark.blocks import persistent_rdd_ids, unpersist_blocks
+        keep = persistent_rdd_ids(spark)   # after warming input caches
+        ...run composed pipeline, materialize results...
+        unpersist_blocks(spark, keep)      # releases retired stage blocks
+
+    (bench.py and tools/bench_dedup_axis.py both do exactly this.) For
+    cluster runs that need fault-tolerant, resumable materialization
+    instead of executor-pinned blocks, pass ``stage_runner=`` to
+    :func:`shingle_postings` — the posting table then lands as a
+    parquet stage with a lineage manifest (plans/checkpoint.py)."""
     return df.localCheckpoint()
 
 
@@ -206,6 +230,11 @@ def minhash_lsh_candidates_fast(
     band equi-join. Pass ``postings`` (from ``shingle_postings``) to
     reuse a materialized posting table across composed tiers;
     ``materialize=False`` keeps everything lazy."""
+    if df is None and postings is None:
+        raise ValueError(
+            "pass df (raw documents) or postings (a shingle_postings "
+            "table) — with neither there is nothing to shingle"
+        )
     rows_per_band = k // bands
     if postings is None:
         postings = shingle_postings(
@@ -246,6 +275,11 @@ def minhash_lsh_candidates(
     than n^2. Pass ``postings`` (from ``shingle_postings``) to reuse a
     materialized posting table across composed tiers; ``materialize=False``
     keeps everything lazy."""
+    if df is None and postings is None:
+        raise ValueError(
+            "pass df (raw documents) or postings (a shingle_postings "
+            "table) — with neither there is nothing to shingle"
+        )
     rows_per_band = k // bands
     # explode shingles once, then k map-side min-aggregations — md5 is
     # computed once per (shingle, permutation) inside codegen, and the
@@ -308,6 +342,11 @@ def ngram_jaccard(
     — and, with a cap, df-capped — posting table once so the sizes and
     both intersection sides read materialized blocks instead of each
     re-running the scan -> explode -> hash chain (VERDICT r3 #2)."""
+    if df is None and postings is None:
+        raise ValueError(
+            "pass df (raw documents) or postings (a shingle_postings "
+            "table) — with neither there is nothing to shingle"
+        )
     if postings is None:
         # with a df cap, the hot-set aggregate and the anti-join probe
         # both reference the posting chain — materialize it so they share

@@ -107,7 +107,19 @@ def build_sketch_table(
     sk = hll_sketch(
         df, value_col, by=[partition_col, *by], estimate=False, **sketch_kw
     )
-    sk.write.mode(mode).partitionBy(partition_col).parquet(path)
+    # partitionOverwriteMode is pinned STATIC: build semantics are "replace
+    # the whole table". If the session default were dynamic (as
+    # update/merge pin for themselves), mode='overwrite' would keep any
+    # partition absent from this batch AND the previous _meta.json — so a
+    # convention change would land mixed-convention rows and only then
+    # trip the manifest check. Static overwrite clears the directory, so
+    # the post-write manifest write sees a fresh table.
+    (
+        sk.write.mode(mode)
+        .option("partitionOverwriteMode", "static")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
     if mode == "ignore" and pre_existing:
         # the write was silently skipped against a pre-existing table —
         # never (re)label a table this call did not produce

@@ -101,6 +101,7 @@ def dedup_corpus(spark, n_rows: int, partitions: int):
 
 def main() -> None:
     from js_hll_spark.operators import dedup
+    from js_hll_spark.spark.blocks import persistent_rdd_ids, unpersist_blocks
     from js_hll_spark.queries import _ship
     from js_hll_spark.spark.session import get_spark
 
@@ -110,33 +111,30 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _ship(spark)
 
-    def _clear_checkpoints():
-        # each rep materializes fresh localCheckpoint blocks; without an
-        # explicit unpersist they accumulate across reps (Python GC may
-        # hold them arbitrarily long), degrading later queries through
-        # memory pressure — which showed up as a composed query timing
-        # SLOWER than its own superset in the first axis run
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        it = jmap.entrySet().iterator()
-        while it.hasNext():
-            it.next().getValue().unpersist(False)
+    # each rep materializes fresh localCheckpoint blocks; without an
+    # explicit unpersist they accumulate across reps (Python GC may
+    # hold them arbitrarily long), degrading later queries through
+    # memory pressure — which showed up as a composed query timing
+    # SLOWER than its own superset in the first axis run. The sweep is
+    # id-selective: a blanket unpersist sets the cached docs table's
+    # buffer RDD to StorageLevel NONE, after which it recomputes every
+    # rep WITHOUT re-caching (the earlier rewarm-by-count was a no-op).
+    keep = {"ids": frozenset()}
 
-    def median(fn, rewarm):
+    def median(fn):
         runs = []
         for _ in range(REPS):
             t0 = time.perf_counter()
             n = fn()
             runs.append((time.perf_counter() - t0, n))
-            # clearing also evicts the cached docs table — re-warm it
-            # untimed so every rep starts from the same state
-            _clear_checkpoints()
-            rewarm()
+            unpersist_blocks(spark, keep["ids"])
         return sorted(runs)[len(runs) // 2]
 
     table = []
     for n in SIZES:
         docs = dedup_corpus(spark, n, partitions=int(CPUS) * 2).cache()
         docs.count()  # materialize, untimed
+        keep["ids"] = persistent_rdd_ids(spark)
 
         def q_exact():
             return dedup.dedup_exact(docs, "text", "row_id").count()
@@ -179,7 +177,7 @@ def main() -> None:
             ("dedup_pipeline_fast", q_pipeline),
             ("dedup_clusters_fast", q_clusters),
         ):
-            sec, rows = median(fn, rewarm=docs.count)
+            sec, rows = median(fn)
             rec = {
                 "query": name,
                 "n_docs": n,

@@ -64,7 +64,7 @@ def value_hash(cols, rows):
     return h.hexdigest()[:16]
 
 
-def main(only=None):
+def main(only=None, json_out=None):
     from js_hll_spark.queries import ORACLES, QUERIES
     from js_hll_spark.spark.session import get_spark
 
@@ -83,6 +83,7 @@ def main(only=None):
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
     failures = []
+    report = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -93,9 +94,15 @@ def main(only=None):
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e)[:200]}")
             failures.append(name)
+            report[name] = {"err": f"spark error: {str(e)[:300]}"}
             continue
         if name not in ORACLES:
             print(f"rows  {name}: {len(srows)} rows (no oracle)")
+            report[name] = {
+                "rows_only": True,
+                "spark_rows": len(srows),
+                "err": None,
+            }
             continue
         try:
             cur = con.sql(ORACLES[name])
@@ -109,6 +116,7 @@ def main(only=None):
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
             failures.append(name)
+            report[name] = {"err": f"duckdb error: {str(e)[:300]}"}
             continue
         ok_cols = sorted(scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
@@ -130,6 +138,14 @@ def main(only=None):
         status = (
             "OK  " if (ok_cols and ok_count and ok_hash and ok_types) else "FAIL"
         )
+        report[name] = {
+            "rows_match": ok_count,
+            "schema_match": ok_cols,
+            "hash_match": ok_hash and ok_types,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": None,
+        }
         print(
             f"{status}  {name}: spark {len(srows)}x{len(scols)}"
             f" duck {len(drows)}x{len(dcols)}"
@@ -152,19 +168,39 @@ def main(only=None):
     names = list(QUERIES)
     beyond = names[DRIVER_WINDOW:]
     oracled_beyond = [n for n in beyond if n in ORACLES]
+    expected_excess = max(0, len(ORACLES) - DRIVER_WINDOW)
     if beyond:
         print(
             f"\nbeyond driver window ({DRIVER_WINDOW} rows), "
             f"skipped by the driver gate: {beyond}"
         )
-    if oracled_beyond:
+    if len(oracled_beyond) > expected_excess:
         print(
-            "WARNING: ORACLED queries outside the driver window "
-            f"(reorder QUERIES!): {oracled_beyond}"
+            "WARNING: more ORACLED queries outside the driver window than "
+            f"the rotation excess ({len(oracled_beyond)} > {expected_excess} "
+            f"— reorder QUERIES!): {oracled_beyond}"
         )
+    elif oracled_beyond:
+        print(
+            f"rotation: {len(oracled_beyond)} oracled entries beyond the "
+            f"window this round (= the excess over {DRIVER_WINDOW}; they "
+            f"rotate back in next rounds): {oracled_beyond}"
+        )
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_out} ({len(report)} entries)")
     print("\nFAILURES:" if failures else "\nALL OK", ", ".join(failures))
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(set(sys.argv[1:]) or None))
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sys.exit(main(set(args) or None, json_out=json_out))
