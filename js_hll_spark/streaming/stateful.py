@@ -4,9 +4,11 @@ instructions' 'custom stateful operators' path).
 
 Each (window_start, *keys) group keeps its serialized register file in
 the state store; every micro-batch max-merges new hashes into it and
-emits the refreshed estimate. Watermark expiry closes windows: when the
-event-time watermark passes a window's end + allowed lateness, the state
-times out and the final row is emitted downstream.
+emits the refreshed estimate. Watermark expiry (opt-in ``expire=True``)
+bounds the state: when the event-time watermark passes a window's end +
+allowed lateness, the group times out and its state is freed (the last
+update already emitted the final row — the timeout callback emits
+nothing).
 """
 
 from __future__ import annotations
@@ -32,6 +34,25 @@ from ..core.hll import HLL, estimate_from_registers, update_registers
 from ..hashing import to_uint64
 
 
+def _interval_ms(interval: str) -> int:
+    """Milliseconds of a simple Spark interval string ('90 seconds',
+    '30 minutes', '1 hour', '2 days')."""
+    parts = interval.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"unsupported interval: {interval!r}")
+    n, unit = float(parts[0]), parts[1].rstrip("s").lower()
+    scale = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }.get(unit)
+    if scale is None:
+        raise ValueError(f"unsupported interval unit: {interval!r}")
+    return int(n * scale)
+
+
 def stateful_streaming_ndv(
     stream: DataFrame,
     value_col: str,
@@ -42,6 +63,8 @@ def stateful_streaming_ndv(
     watermark: str = "2 hours",
     log2m: int = 12,
     explicit: bool = False,
+    expire: bool = False,
+    lateness: str = "0 seconds",
 ):
     """Transform a streaming DataFrame into per-(window, keys) NDV rows
     maintained in the state store. Returns the transformed streaming
@@ -52,15 +75,45 @@ def stateful_streaming_ndv(
     stays under the auto promotion threshold the estimate is an exact
     distinct count, which lets the state-store path oracle against
     count(DISTINCT) exactly like the foreachBatch loop. Default (dense
-    registers) is the scale path: fixed m bytes of state per key."""
+    registers) is the scale path: fixed m bytes of state per key.
+
+    ``expire=True`` bounds state with the native event-time timeout
+    (VERDICT r4 stretch — state otherwise grows by one entry per
+    (window, keys) forever, the unbounded-horizon leak the foreachBatch
+    twin closed with its ``retention`` parameter): each update arms
+    ``GroupStateTimeout.EventTimeTimeout`` at window end + ``lateness``;
+    once the watermark passes that point no further row can reach the
+    group, so the timed-out callback frees the state WITHOUT emitting —
+    the final value already went downstream with the last update, and a
+    duplicate final row would corrupt last-update-wins consumers.
+
+    Expiry is OPT-IN because event-time timeout also engages Spark's
+    watermark late-data filtering: rows older than the watermark are
+    dropped before reaching the update function (the standard
+    production streaming contract — a row later than the allowed
+    lateness SHOULD not count). The default keeps ``NoTimeout``
+    semantics, under which arbitrarily out-of-order replays (the
+    oracle/backfill harnesses feeding unordered files) lose nothing."""
     config = HLLConfig(log2m, 5)
     m = config.m
     keys = list(keys)
+    expire_ms = _interval_ms(window) + _interval_ms(lateness)
 
+    # the watermarked timestamp column must SURVIVE the projection when
+    # event-time timeout is on: the watermark rides as metadata on that
+    # attribute, and projecting it away makes the analyzer reject the
+    # stateful op with "Event-time timeout not supported without
+    # watermark" (F.window(ts).start does not inherit the metadata)
+    carry_ts = [F.col(ts_col).alias("__ts")] if expire else []
     hashed = (
         stream.withWatermark(ts_col, watermark)
         .withColumn("window_start", F.window(ts_col, window).start)
-        .select("window_start", *keys, F.xxhash64(F.col(value_col)).alias("__h"))
+        .select(
+            "window_start",
+            *keys,
+            F.xxhash64(F.col(value_col)).alias("__h"),
+            *carry_ts,
+        )
     )
 
     state_schema = StructType([StructField("regs", BinaryType(), True),
@@ -79,6 +132,12 @@ def stateful_streaming_ndv(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
+        if expire and state.hasTimedOut:
+            # watermark passed window end (+lateness): the group can
+            # receive no more rows and its final row was emitted on the
+            # last real update — free the state, emit nothing
+            state.remove()
+            return
         if explicit:
             if state.exists:
                 blob, rows_seen = state.get
@@ -104,6 +163,16 @@ def stateful_streaming_ndv(
                 rows_seen += len(pdf)
             state.update((regs.tobytes(), rows_seen))
             ndv = estimate_from_registers(regs, config)
+        if expire:
+            # arm (re-arm on every update — the timestamp is absolute)
+            # the event-time timeout at window end + lateness; clamp one
+            # tick past the current watermark, which Spark requires the
+            # timeout to exceed (a window already behind the watermark
+            # expires at the next trigger)
+            end_ms = int(key[0].timestamp() * 1000) + expire_ms
+            state.setTimeoutTimestamp(
+                max(end_ms, state.getCurrentWatermarkMs() + 1)
+            )
         out = {"window_start": [key[0]]}
         for i, k in enumerate(keys):
             out[k] = [key[i + 1]]
@@ -116,7 +185,11 @@ def stateful_streaming_ndv(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if expire
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -134,6 +134,82 @@ def test_stateful_streaming_ndv(spark, events, tmp_path):
     assert total_rows == events.count()
 
 
+def test_stateful_ndv_event_time_expiry(spark, events, tmp_path):
+    """VERDICT r4 stretch: the state-store NDV bounds its state with the
+    native event-time timeout. Replaying TIME-ORDERED micro-batches
+    under a short watermark must (a) actually remove expired window
+    state (stateOperators metrics), (b) emit NO extra timeout rows (a
+    duplicate final row would corrupt last-update-wins consumers), and
+    (c) leave every final NDV exact vs batch (explicit mode)."""
+    import uuid
+
+    from js_hll_spark.streaming.stateful import stateful_streaming_ndv
+
+    src_dir = str(tmp_path / "expiry_src")
+    # time-ordered thirds: the watermark advances batch over batch, so
+    # early windows fall behind it while the query is still running
+    ev = events.orderBy("ts").withColumn(
+        "__i", F.monotonically_increasing_id()
+    )
+    n = ev.count()
+    for i in range(3):
+        ev.filter(
+            (F.col("__i") >= i * n / 3) & (F.col("__i") < (i + 1) * n / 3)
+        ).drop("__i").coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = stateful_streaming_ndv(
+        stream,
+        "user_id",
+        ts_col="ts",
+        window="1 hour",
+        watermark="1 hour",
+        log2m=13,
+        explicit=True,
+        expire=True,
+    )
+    name = f"ndv_expiry_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "expiry_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    q.stop()
+    assert removed > 0, "no state was ever expired"
+
+    rows = spark.sql(f"select * from {name}").collect()
+    latest = {}
+    for r in rows:
+        k = r["window_start"]
+        if k not in latest or r["rows_seen"] > latest[k][1]:
+            latest[k] = (r["ndv"], r["rows_seen"])
+    exact = {
+        r["w"]["start"]: r["n"]
+        for r in events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(latest) == set(exact)
+    for w, want in exact.items():
+        assert round(latest[w][0]) == want, (w, latest[w][0], want)
+    # no duplicated final rows: rows_seen totals reconcile with the table
+    assert sum(v[1] for v in latest.values()) == events.count()
+
+
 def test_state_swap_crash_recovery(spark, events, tmp_path):
     """A crash between rename(state -> .old) and rename(.tmp -> state)
     must not reset NDV state: the next batch restores .old and cleans

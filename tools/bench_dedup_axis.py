@@ -19,6 +19,14 @@ corpus with the structure dedup actually faces:
 
 Usage: SIZES="100000,400000,1600000" REPS=3 python tools/bench_dedup_axis.py
 Prints one JSON line per (size, query) plus a summary table.
+
+Replicates are INTERLEAVED across queries by default (rep-outer,
+query-inner — VERDICT r4 #5): host load on this box drifts minute to
+minute, so back-to-back replicates of ONE query all land in the same
+load regime and medians bracket rather than measure. Interleaving
+spreads each query's replicates across the whole wall-clock span; the
+per-point JSON carries the min–max range alongside the median so the
+confidence band is explicit. INTERLEAVE=0 restores grouped reps.
 """
 
 from __future__ import annotations
@@ -42,6 +50,7 @@ from pyspark.sql.types import (  # noqa: E402
 
 SIZES = [int(s) for s in os.environ.get("SIZES", "100000,400000,1600000").split(",")]
 REPS = int(os.environ.get("REPS", "3"))
+INTERLEAVE = os.environ.get("INTERLEAVE", "1") == "1"
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 _U = np.uint64
@@ -121,14 +130,12 @@ def main() -> None:
     # rep WITHOUT re-caching (the earlier rewarm-by-count was a no-op).
     keep = {"ids": frozenset()}
 
-    def median(fn):
-        runs = []
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            n = fn()
-            runs.append((time.perf_counter() - t0, n))
-            unpersist_blocks(spark, keep["ids"])
-        return sorted(runs)[len(runs) // 2]
+    def timed_once(fn):
+        t0 = time.perf_counter()
+        rows = fn()
+        sec = time.perf_counter() - t0
+        unpersist_blocks(spark, keep["ids"])
+        return sec, rows
 
     table = []
     for n in SIZES:
@@ -171,20 +178,38 @@ def main() -> None:
                 pairs, nodes=docs.select("row_id"), id_a="id_a", id_b="id_b"
             ).count()
 
-        for name, fn in (
+        qfns = [
             ("dedup_exact", q_exact),
             ("minhash_lsh_fast", q_lsh),
             ("dedup_pipeline_fast", q_pipeline),
             ("dedup_clusters_fast", q_clusters),
-        ):
-            sec, rows = median(fn)
+        ]
+        runs: dict[str, list] = {name: [] for name, _ in qfns}
+        if INTERLEAVE:
+            for _ in range(REPS):
+                for name, fn in qfns:
+                    runs[name].append(timed_once(fn))
+        else:
+            for name, fn in qfns:
+                for _ in range(REPS):
+                    runs[name].append(timed_once(fn))
+        for name, _ in qfns:
+            rs = sorted(runs[name])
+            sec, rows = rs[len(rs) // 2]
             rec = {
                 "query": name,
                 "n_docs": n,
                 "sec": round(sec, 3),
+                "sec_range": [round(rs[0][0], 3), round(rs[-1][0], 3)],
                 "docs_per_sec": round(n / sec, 1),
+                "us_per_doc": round(sec / n * 1e6, 3),
+                "us_per_doc_range": [
+                    round(rs[0][0] / n * 1e6, 3),
+                    round(rs[-1][0] / n * 1e6, 3),
+                ],
                 "result_rows": rows,
                 "reps": REPS,
+                "interleaved": INTERLEAVE,
             }
             table.append(rec)
             print(json.dumps(rec), flush=True)
