@@ -36,6 +36,35 @@ def persistent_rdd_ids(spark: SparkSession) -> frozenset[int]:
     return frozenset(int(i) for i in ids)
 
 
+def checkpoint_rdd_id(df) -> int | None:
+    """The persistent-RDD id backing a ``localCheckpoint``-ed DataFrame
+    (its analyzed plan is a LogicalRDD over the checkpoint), or None for
+    any other plan shape. Lets an iterative operator retire EXACTLY its
+    own superseded checkpoints (see operators/dedup.py::
+    connected_components) instead of relying on a caller-side sweep."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            return int(plan.rdd().id())
+    except Exception:
+        pass
+    return None
+
+
+def unpersist_by_id(spark: SparkSession, rdd_id: int | None, *, blocking: bool = False) -> bool:
+    """Unpersist one RDD by id; returns whether it was found persistent."""
+    if rdd_id is None:
+        return False
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    it = jmap.entrySet().iterator()
+    while it.hasNext():
+        e = it.next()
+        if int(e.getKey()) == rdd_id:
+            e.getValue().unpersist(blocking)
+            return True
+    return False
+
+
 def unpersist_blocks(
     spark: SparkSession,
     keep: frozenset[int] = frozenset(),
