@@ -150,6 +150,43 @@ def test_connected_components_chain_and_singleton(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_blocks_keep_set_protects_caches(spark):
+    """spark/blocks.py contract: sweeping with a keep-set releases
+    checkpoint blocks but leaves protected caches persistent (a blanket
+    sweep would set the cache's storage level to NONE permanently —
+    measured: subsequent counts recompute without re-caching)."""
+    from js_hll_spark.spark.blocks import (
+        checkpoint_rdd_id,
+        persistent_rdd_ids,
+        unpersist_blocks,
+        unpersist_by_id,
+    )
+
+    base = persistent_rdd_ids(spark)
+    cached = spark.range(10000).cache()
+    cached.count()
+    keep = persistent_rdd_ids(spark)
+    assert keep - base  # the cache is materialized and listed
+
+    ck = spark.range(500).localCheckpoint()
+    ck_id = checkpoint_rdd_id(ck)
+    assert ck_id is not None and ck_id in persistent_rdd_ids(spark)
+    # a non-checkpoint plan has no checkpoint id
+    assert checkpoint_rdd_id(spark.range(3)) is None
+
+    released = unpersist_blocks(spark, keep)
+    assert released >= 1
+    after = persistent_rdd_ids(spark)
+    assert ck_id not in after          # checkpoint swept
+    assert (keep - base) <= after      # protected cache still persistent
+
+    # surgical release by id
+    ck2 = spark.range(500).localCheckpoint()
+    assert unpersist_by_id(spark, checkpoint_rdd_id(ck2))
+    assert checkpoint_rdd_id(ck2) not in persistent_rdd_ids(spark)
+    cached.unpersist()
+
+
 def test_connected_components_bounded_block_footprint(spark):
     """VERDICT r4 "What's wrong" #2: the per-round label checkpoints
     must be retired IN-OPERATOR as they are superseded — after the call
