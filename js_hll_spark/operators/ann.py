@@ -748,14 +748,19 @@ def ann_ivfpq(
                 }
             )
 
-    # materialize the query-side pass ONCE: q_lists and q_one both read
-    # it, and two live executions of a non-deterministic query source
-    # (sample(), unordered limit()) could diverge — a candidate whose
-    # query_id is missing from the LUT list would crash scoring. The
-    # eager checkpoint runs a (query-table-sized) job at construction;
-    # this is a serving API whose result is always executed, so the
-    # consistency guarantee wins over laziness here (unlike the dedup
-    # stages, which expose materialize=False for plan inspection).
+    # materialize the query-side pass ONCE: q_lists and q_chunks both
+    # read it, and two live executions of a non-deterministic query
+    # source (sample(), unordered limit()) could diverge — a candidate
+    # whose query_id is missing from the LUT list would crash scoring.
+    # The eager checkpoint runs a (query-table-sized) job at
+    # construction; this is a serving API whose result is always
+    # executed, so the consistency guarantee wins over laziness here
+    # (unlike the dedup stages, which expose materialize=False for plan
+    # inspection). LIFECYCLE: the checkpoint must outlive the returned
+    # (lazy) DataFrame, so the operator cannot free it — callers that
+    # loop ann_ivfpq in one long session should sweep retired blocks
+    # between iterations (js_hll_spark/spark/blocks.py keep-set recipe;
+    # bench.py does).
     q_side = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     ).mapInPandas(q_fn, schema=q_schema).localCheckpoint()

@@ -63,6 +63,7 @@ def shingle_postings(
     materialize: bool = True,
     stage_runner=None,
     stage_name: str = "shingle_postings",
+    stage_inputs: Sequence[str] = (),
 ) -> DataFrame:
     """The shared first stage of every shingle-based dedup tier: the
     exploded DISTINCT ``(__id, sh)`` posting table, materialized ONCE.
@@ -91,6 +92,15 @@ def shingle_postings(
     resumable across driver restarts — the materialization story a real
     1000-executor run needs. Results are identical either way (pinned by
     ``tests/test_operators.py::test_durable_posting_stage``).
+
+    INVALIDATION CONTRACT: StageRunner fingerprint-chains between NAMED
+    stages only — a completed stage with no ``stage_inputs`` is served
+    as-is on every rerun, even if the raw corpus changed (that is what
+    makes a killed pipeline resumable). When the input corpus is itself
+    a StageRunner stage, pass its name via ``stage_inputs`` to get
+    automatic invalidation; for raw external tables, encode the corpus
+    version in ``stage_name`` (or delete the stage dir) when the data
+    changes — otherwise new documents silently reuse stale postings.
     """
     ex = df.select(
         F.col(id_col).alias("__id"),
@@ -99,7 +109,7 @@ def shingle_postings(
         ).alias("sh"),
     )
     if stage_runner is not None:
-        return stage_runner.run(stage_name, lambda: ex)
+        return stage_runner.run(stage_name, lambda: ex, inputs=stage_inputs)
     return _mat(ex) if materialize else ex
 
 

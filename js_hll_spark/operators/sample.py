@@ -27,9 +27,12 @@ row id): rows sharing a key tie on every sort criterion, and which
 tied rows survive the cut would then depend on partition order —
 exactly the nondeterminism this module exists to rule out.
 
-The query registry's 50-row driver window is full (every slot holds an
-oracled query), so these register no queries() entries; the Spark vs
-DuckDB equivalence is pinned in tests/test_sampling.py instead.
+Registry surface (round 5): sample_bernoulli / sample_stratified /
+sample_fixed / sample_split are ORACLED queries() entries in
+js_hll_spark/queries.py (rotating driver window); the full property
+suite — nestedness, join-consistency, split disjointness, weighted
+Efraimidis–Spirakis mirror, null-key safety — stays in
+tests/test_sampling.py.
 """
 
 from __future__ import annotations

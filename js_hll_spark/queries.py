@@ -1281,10 +1281,13 @@ def q_hll_fold_union(spark, sf_dir):
         .agg(F.max("n"))
         .first()[0]
     )
-    if max_ndv is not None and max_ndv >= 1024:
+    # promotion happens only when the set EXCEEDS the threshold
+    # (core/hll.py add path: len > explicit_threshold), so exactly 1024
+    # is still explicit/exact
+    if max_ndv is not None and max_ndv > 1024:
         raise ValueError(
             f"hll_fold_union oracle is exact only while per-lang "
-            f"NDV(text) < 1024 (the explicit threshold at log2m=14/rw=5); "
+            f"NDV(text) <= 1024 (the explicit threshold at log2m=14/rw=5); "
             f"this run has max {max_ndv} — past the threshold the sketch "
             "promotes to registers and estimates stop matching "
             "count(DISTINCT); drop the ORACLES entry for this scale"
@@ -2280,7 +2283,12 @@ ORACLES: dict[str, str] = {
 # (window-free) coverage of every registry entry is additionally
 # recorded per round by tools/compare_oracle.py --json (the
 # CORRECTNESS_FULL artifact).
-DRIVER_WINDOW = 50
+# single source of truth for the window size; tools/compare_oracle.py
+# imports this (override both via SPARK_GRAFT_GATE_WINDOW for local
+# experiments — the real driver budget is 50)
+import os as _os
+
+DRIVER_WINDOW = int(_os.environ.get("SPARK_GRAFT_GATE_WINDOW", "50"))
 _ROTATION_STEP = 4
 
 

@@ -97,7 +97,20 @@ def stateful_streaming_ndv(
     config = HLLConfig(log2m, 5)
     m = config.m
     keys = list(keys)
-    expire_ms = _interval_ms(window) + _interval_ms(lateness)
+    if expire:
+        # only the expiry path needs to parse the interval itself —
+        # the default path hands the string straight to F.window, whose
+        # CalendarInterval parser accepts compound forms ('1 hour
+        # 30 minutes') that _interval_ms does not
+        expire_ms = _interval_ms(window) + _interval_ms(lateness)
+        # Spark renders the tz-naive group key in the SESSION time zone,
+        # while getCurrentWatermarkMs/setTimeoutTimestamp speak true
+        # epoch ms — capture the session tz now so update_fn can
+        # localize correctly (treating the naive key as UTC would skew
+        # every timeout by the session's UTC offset)
+        session_tz = stream.sparkSession.conf.get("spark.sql.session.timeZone")
+    else:
+        expire_ms, session_tz = 0, "UTC"
 
     # the watermarked timestamp column must SURVIVE the projection when
     # event-time timeout is on: the watermark rides as metadata on that
@@ -168,8 +181,17 @@ def stateful_streaming_ndv(
             # the event-time timeout at window end + lateness; clamp one
             # tick past the current watermark, which Spark requires the
             # timeout to exceed (a window already behind the watermark
-            # expires at the next trigger)
-            end_ms = int(key[0].timestamp() * 1000) + expire_ms
+            # expires at the next trigger). The naive key localizes in
+            # the captured SESSION tz (ambiguous DST fall-back hours
+            # resolve to the DST side — at worst a 1 h skew twice a
+            # year on non-UTC sessions, vs a constant utc-offset skew
+            # if the key were read as UTC).
+            start = pd.Timestamp(key[0])
+            if start.tzinfo is None:
+                start = start.tz_localize(
+                    session_tz, ambiguous=True, nonexistent="shift_forward"
+                )
+            end_ms = int(start.timestamp() * 1000) + expire_ms
             state.setTimeoutTimestamp(
                 max(end_ms, state.getCurrentWatermarkMs() + 1)
             )

@@ -15,10 +15,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-# The driver's CORRECTNESS artifact covered exactly the first 50 registry
-# entries in rounds 2-3; mirror that budget so this gate reports which
-# entries would fall outside the driver's window.
-DRIVER_WINDOW = int(os.environ.get("SPARK_GRAFT_GATE_WINDOW", "50"))
+# The driver's CORRECTNESS artifact covers exactly the first 50 registry
+# entries (hard budget, rounds 2-4). The size lives in
+# js_hll_spark.queries.DRIVER_WINDOW (which also drives the rotation),
+# so the gate and the registry can never disagree; both honor
+# SPARK_GRAFT_GATE_WINDOW for local experiments.
+from js_hll_spark.queries import DRIVER_WINDOW  # noqa: E402
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -201,6 +203,9 @@ if __name__ == "__main__":
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: compare_oracle.py [--json OUT.json] [names...]")
+            sys.exit(2)
         json_out = args[i + 1]
         args = args[:i] + args[i + 2 :]
     sys.exit(main(set(args) or None, json_out=json_out))
