@@ -26,18 +26,27 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from .. import fsio
 from ..hashing import DEFAULT_SEED
 from ..spark.agg import hll_rollup, hll_sketch
 
 _META = "_meta.json"
 
 
-def _sketch_meta(sketch_kw: dict) -> dict:
-    """The hashing/config convention a stored sketch table was built
-    with. The AK storage format does NOT record the hash function or
-    seed, so two tables hashed differently union silently into garbage
-    NDV — no config-mismatch error can fire (ADVICE r3). Persisting the
-    convention beside the table makes the mismatch detectable."""
+def _sketch_meta(
+    sketch_kw: dict,
+    *,
+    value_col: str,
+    partition_col: str,
+    by: Sequence[str],
+) -> dict:
+    """The hashing convention AND table grain a stored sketch table was
+    built with. The AK storage format records neither the hash function
+    nor the seed, so two tables hashed differently union silently into
+    garbage NDV (ADVICE r3); and a write under a different grain
+    (partition_col/by/value_col) would land mixed-schema partitions the
+    readers then group wrongly — both mismatches are made detectable by
+    persisting the declaration beside the table."""
     method = sketch_kw.get("hash_method", "xxhash64")
     return {
         "hash_method": method,
@@ -46,40 +55,51 @@ def _sketch_meta(sketch_kw: dict) -> dict:
         "hash_seed": DEFAULT_SEED if method == "murmur3" else None,
         "log2m": sketch_kw.get("log2m", 13),
         "regwidth": sketch_kw.get("regwidth", 5),
+        "value_col": value_col,
+        "partition_col": partition_col,
+        "by": list(by),
     }
 
 
 def _read_meta(path: str) -> dict | None:
+    text = fsio.read_text(f"{path.rstrip('/')}/{_META}")
+    if text is None:
+        return None
     try:
-        with open(os.path.join(path, _META)) as f:
-            return json.load(f)
-    except (OSError, ValueError):
+        return json.loads(text)
+    except ValueError:
         return None
 
 
-def _check_meta(path: str, sketch_kw: dict) -> None:
+def _check_meta(path: str, meta: dict) -> None:
     """Refuse to touch a stored table under a different hashing
-    convention (no side effects — safe to call before any write)."""
-    meta = _sketch_meta(sketch_kw)
+    convention or grain (no side effects — safe to call before any
+    write). Manifests written before the grain fields existed compare
+    on the keys they carry (convention only)."""
     existing = _read_meta(path)
-    if existing is not None and existing != meta:
+    if existing is None:
+        return
+    diffs = {
+        k: (existing[k], meta[k])
+        for k in meta
+        if k in existing and existing[k] != meta[k]
+    }
+    if diffs:
         raise ValueError(
             f"sketch table at {path} was built with {existing}, but this "
-            f"batch declares {meta} — unioning sketches across hash "
-            "conventions produces silent garbage; rebuild the table or "
-            "match its convention"
+            f"batch declares {meta} (differs on {sorted(diffs)}) — "
+            "unioning sketches across hash conventions produces silent "
+            "garbage, and a different grain lands mixed-schema "
+            "partitions; rebuild the table or match its declaration"
         )
 
 
-def _check_and_write_meta(path: str, sketch_kw: dict) -> None:
-    """_check_meta + atomically (re)write the manifest."""
-    _check_meta(path, sketch_kw)
-    os.makedirs(path, exist_ok=True)
-    meta_path = os.path.join(path, _META)
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(_sketch_meta(sketch_kw), f)
-    os.replace(tmp, meta_path)
+def _check_and_write_meta(path: str, meta: dict) -> None:
+    """_check_meta + atomically (re)write the manifest (fsio: lands
+    beside the data on any filesystem, incl. object stores)."""
+    _check_meta(path, meta)
+    fsio.makedirs(path)
+    fsio.write_text_atomic(f"{path.rstrip('/')}/{_META}", json.dumps(meta))
 
 
 def build_sketch_table(
@@ -95,6 +115,9 @@ def build_sketch_table(
     """Reduce ``df`` to one sketch per (partition_col, *by) and write a
     Hive-partitioned parquet sketch table at ``path``. ``sketch_kw``
     passes through to :func:`hll_sketch` (log2m, regwidth, engine, ...)."""
+    meta = _sketch_meta(
+        sketch_kw, value_col=value_col, partition_col=partition_col, by=by
+    )
     if mode == "append":
         # fail BEFORE landing rows: an append under a different hashing
         # convention would permanently mix sketches in-place — the exact
@@ -102,7 +125,7 @@ def build_sketch_table(
         # only (no mkdir/manifest side effects — creating the path
         # first would break mode='error'/'ignore' semantics, whose
         # writes key off path existence)
-        _check_meta(path, sketch_kw)
+        _check_meta(path, meta)
     pre_existing = os.path.exists(path)
     sk = hll_sketch(
         df, value_col, by=[partition_col, *by], estimate=False, **sketch_kw
@@ -124,7 +147,7 @@ def build_sketch_table(
         # the write was silently skipped against a pre-existing table —
         # never (re)label a table this call did not produce
         return
-    _check_and_write_meta(path, sketch_kw)
+    _check_and_write_meta(path, meta)
 
 
 def update_sketch_table(
@@ -141,7 +164,12 @@ def update_sketch_table(
     same batch is idempotent; partitions not present in ``df`` are
     untouched. The batch must carry whole partitions — sketch rows
     replace, not merge, because a stored sketch cannot be un-unioned."""
-    _check_and_write_meta(path, sketch_kw)
+    _check_and_write_meta(
+        path,
+        _sketch_meta(
+            sketch_kw, value_col=value_col, partition_col=partition_col, by=by
+        ),
+    )
     sk = hll_sketch(
         df, value_col, by=[partition_col, *by], estimate=False, **sketch_kw
     )
@@ -173,18 +201,38 @@ def merge_into_sketch_table(
     counts rows offered, not distinct)."""
     from pyspark.errors import AnalysisException
 
+    from ..spark.blocks import checkpoint_rdd_id, unpersist_by_id
     from ..streaming.ndv import merge_sketch_tables
 
-    _check_and_write_meta(path, sketch_kw)
-    new = hll_sketch(
-        df, value_col, by=[partition_col, *by], estimate=False, **sketch_kw
+    _check_and_write_meta(
+        path,
+        _sketch_meta(
+            sketch_kw, value_col=value_col, partition_col=partition_col, by=by
+        ),
     )
     spark = df.sparkSession
+    # checkpoint the batch aggregation ONCE: the merge plan references
+    # it from three places (the affected-partition distinct, the
+    # semi-join probe, and merge_sketch_tables' union read twice), and
+    # an unmaterialized subtree would re-run the full batch aggregation
+    # for each — KB-sized sketch rows, so the pin is bounded
+    new = hll_sketch(
+        df, value_col, by=[partition_col, *by], estimate=False, **sketch_kw
+    ).localCheckpoint()
     try:
-        existing = read_sketch_table(spark, path).select(*new.columns)
+        # the try guards ONLY the read (path may not exist yet); the
+        # column selection must fail LOUDLY outside it — swallowing an
+        # unresolved-column error here read as "no table" and let a
+        # grain-mismatched batch dynamically overwrite accumulated
+        # sketches with batch-only rows (the meta grain check above
+        # catches declared mismatches; this is defense in depth for
+        # tables with pre-grain manifests)
+        existing = read_sketch_table(spark, path)
     except AnalysisException:
         existing = None
+    merged = new
     if existing is not None:
+        existing = existing.select(*new.columns)
         affected = new.select(partition_col).distinct()
         # eqNullSafe semi-join: a plain key join would fail to read the
         # stored null partition's sketch (NULL = NULL is not true), and
@@ -198,14 +246,19 @@ def merge_into_sketch_table(
         # very partitions the writer replaces; localCheckpoint forces the
         # read to finish first (bounded — sketch rows are KB-sized)
         merged = merge_sketch_tables(old, new, [partition_col, *by]).localCheckpoint()
-    else:
-        merged = new
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(path)
-    )
+    try:
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        # the write is the checkpoints' last reader — free them so a
+        # long-lived caller (stream_into_sketch_table runs this every
+        # micro-batch) does not pin one table copy per batch forever
+        unpersist_by_id(spark, checkpoint_rdd_id(merged))
+        unpersist_by_id(spark, checkpoint_rdd_id(new))
 
 
 def stream_into_sketch_table(

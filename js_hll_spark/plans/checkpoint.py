@@ -17,33 +17,43 @@ resuming a killed pipeline re-executes only incomplete stages.
 from __future__ import annotations
 
 import json
-import os
 import time
 from typing import Callable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import fsio
 
 _MANIFEST = "_manifest.json"
 
 
 class StageRunner:
+    """Manifest IO goes through ``js_hll_spark.fsio`` (pyarrow.fs), so a
+    cloud root ('s3://bucket/stages') keeps manifests BESIDE the stage
+    data — with plain os/open calls the parquet landed remotely while
+    the manifest landed on the driver's local disk, breaking resume
+    from any other host (and letting a stale local manifest mark
+    missing remote data complete)."""
+
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        fsio.makedirs(root)
 
     def _stage_dir(self, name: str) -> str:
-        return os.path.join(self.root, f"stage={name}")
+        return f"{self.root.rstrip('/')}/stage={name}"
 
     def _manifest_path(self, name: str) -> str:
-        return os.path.join(self._stage_dir(name), _MANIFEST)
+        return f"{self._stage_dir(name)}/{_MANIFEST}"
 
     def manifest(self, name: str) -> dict | None:
-        path = self._manifest_path(name)
-        if os.path.exists(path):
-            with open(path) as f:
-                return json.load(f)
-        return None
+        text = fsio.read_text(self._manifest_path(name))
+        if text is None:
+            return None
+        try:
+            return json.loads(text)
+        except ValueError:
+            return None
 
     def is_complete(self, name: str, inputs: Sequence[str]) -> bool:
         m = self.manifest(name)
@@ -80,31 +90,24 @@ class StageRunner:
 
         out = self.spark.read.parquet(out_dir)
         # per-partition lineage: rows per output file (file = unit of
-        # re-execution on resume), via the input_file_name of each row
-        per_file = (
-            out.groupBy(F.input_file_name().alias("file"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .collect()
-        )
-        def rel(uri: str) -> str:
-            # path RELATIVE to the stage dir, not the basename: with
-            # partition_by, files in different partition dirs from one
-            # write job share basenames (part-00000-<job>.c000...), and
-            # basenames would collide in the lineage
-            p = uri.split("://", 1)[-1] if "://" in uri else uri
-            p = p.split(":", 1)[-1] if p.startswith("file:") else p
-            marker = f"/stage={name}/"
-            return p.split(marker, 1)[1] if marker in p else os.path.basename(p)
-
+        # re-execution on resume) from the parquet FOOTERS — O(#files)
+        # metadata reads. The previous implementation re-scanned the
+        # whole just-written stage (groupBy over input_file_name),
+        # doubling every stage's I/O for numbers the footers already
+        # hold. Paths stay RELATIVE to the stage dir, not basenames:
+        # with partition_by, files in different partition dirs share
+        # basenames (part-00000-<job>.c000...) and would collide.
+        listed = fsio.list_files(out_dir)
         partitions = [
-            {"file": rel(r["file"]), "rows": r["rows"]} for r in per_file
+            {
+                "file": rel_path,
+                "rows": fsio.parquet_num_rows(f"{out_dir}/{rel_path}"),
+            }
+            for rel_path, _sz in listed
+            if rel_path.endswith(".parquet")
         ]
         total_rows = sum(p["rows"] for p in partitions)
-        total_bytes = sum(
-            os.path.getsize(os.path.join(dp, fn))
-            for dp, _, fns in os.walk(out_dir)
-            for fn in fns
-        )
+        total_bytes = sum(sz for _rp, sz in listed)
         completed_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         # fingerprint includes bytes AND the build time: a stage REBUILD
         # invalidates its downstream even when shape happens to match
@@ -131,14 +134,15 @@ class StageRunner:
             "completed_at": completed_at,
         }
         # atomic publish: a kill mid-dump must not leave truncated JSON
-        # that wedges every future resume
-        tmp = self._manifest_path(name) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
-        os.replace(tmp, self._manifest_path(name))
+        # that wedges every future resume (tmp-write + move via fsio)
+        fsio.write_text_atomic(
+            self._manifest_path(name),
+            json.dumps(manifest, indent=1, sort_keys=True),
+        )
         return out
 
     def invalidate(self, name: str) -> None:
         path = self._manifest_path(name)
-        if os.path.exists(path):
-            os.remove(path)
+        if fsio.exists(path):
+            f, p = fsio._resolve(path)
+            f.delete_file(p)

@@ -24,16 +24,20 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 
+def _iter_persistent(spark: SparkSession):
+    """Yield (id, JavaRDD) for every persistent RDD in the JVM."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    it = jmap.entrySet().iterator()
+    while it.hasNext():
+        e = it.next()
+        yield int(e.getKey()), e.getValue()
+
+
 def persistent_rdd_ids(spark: SparkSession) -> frozenset[int]:
     """Ids of every currently-persisted RDD in the JVM (cached tables,
     live checkpoints). Snapshot AFTER materializing the caches you want
     to protect — an unmaterialized cache has no RDD to list yet."""
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    ids = []
-    it = jmap.entrySet().iterator()
-    while it.hasNext():
-        ids.append(it.next().getKey())
-    return frozenset(int(i) for i in ids)
+    return frozenset(i for i, _ in _iter_persistent(spark))
 
 
 def checkpoint_rdd_id(df) -> int | None:
@@ -55,12 +59,9 @@ def unpersist_by_id(spark: SparkSession, rdd_id: int | None, *, blocking: bool =
     """Unpersist one RDD by id; returns whether it was found persistent."""
     if rdd_id is None:
         return False
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    it = jmap.entrySet().iterator()
-    while it.hasNext():
-        e = it.next()
-        if int(e.getKey()) == rdd_id:
-            e.getValue().unpersist(blocking)
+    for rid, jrdd in _iter_persistent(spark):
+        if rid == rdd_id:
+            jrdd.unpersist(blocking)
             return True
     return False
 
@@ -75,13 +76,7 @@ def unpersist_blocks(
     returns how many were released. Pass ``keep=persistent_rdd_ids(...)``
     snapshotted after warming your input caches so only retired
     checkpoint blocks are swept."""
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    victims = []
-    it = jmap.entrySet().iterator()
-    while it.hasNext():
-        e = it.next()
-        if int(e.getKey()) not in keep:
-            victims.append(e.getValue())
+    victims = [jrdd for rid, jrdd in _iter_persistent(spark) if rid not in keep]
     for v in victims:
         v.unpersist(blocking)
     return len(victims)

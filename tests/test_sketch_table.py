@@ -176,6 +176,88 @@ def test_stream_into_sketch_table(spark, documents, tmp_path):
     assert got == want
 
 
+def test_grain_mismatch_refused(spark, documents, tmp_path):
+    """The manifest records the table GRAIN (partition_col/by/value_col)
+    alongside the hash convention: a merge or update under a different
+    grain used to pass the convention-only check and dynamically
+    overwrite accumulated sketches with mixed-schema rows — now it
+    fails loudly BEFORE any write."""
+    import pytest
+
+    path = str(tmp_path / "grain_sk")
+    _build(documents, path)
+    batch = documents.limit(50)
+    for bad_kw in (
+        dict(partition_col="source", by=[]),            # coarser by
+        dict(partition_col="source", by=["lang", "source"]),  # wider by
+        dict(partition_col="lang", by=["source"]),      # different partition col
+    ):
+        with pytest.raises(ValueError, match="differs on"):
+            sketch_table.merge_into_sketch_table(
+                batch, "text", path, log2m=13, **bad_kw
+            )
+        with pytest.raises(ValueError, match="differs on"):
+            sketch_table.update_sketch_table(
+                batch, "text", path, log2m=13, **bad_kw
+            )
+    with pytest.raises(ValueError, match="differs on"):
+        sketch_table.merge_into_sketch_table(
+            batch, "n_chars", path, partition_col="source", by=["lang"], log2m=13
+        )  # different value_col
+    # the matching grain still merges fine after all the refusals
+    sketch_table.merge_into_sketch_table(
+        batch, "text", path, partition_col="source", by=["lang"], log2m=13
+    )
+
+
+def test_merge_into_releases_checkpoints(spark, documents, tmp_path):
+    """merge_into_sketch_table localCheckpoints the batch aggregation
+    and the merged table; both must be released after the write —
+    stream_into_sketch_table runs this per micro-batch, and one pinned
+    table copy per batch is the unbounded-block leak class."""
+    from js_hll_spark.spark.blocks import persistent_rdd_ids, unpersist_blocks
+
+    path = str(tmp_path / "leak_sk")
+    _build(documents, path)
+    before = persistent_rdd_ids(spark)
+    for _ in range(2):
+        sketch_table.merge_into_sketch_table(
+            documents.limit(100), "text", path,
+            partition_col="source", by=["lang"], log2m=13,
+        )
+    leaked = persistent_rdd_ids(spark) - before
+    assert not leaked, f"merge_into leaked {len(leaked)} persistent RDDs"
+    unpersist_blocks(spark, before)
+
+
+def test_stage_runner_uri_root(spark, documents, tmp_path):
+    """StageRunner manifests route through pyarrow.fs: a URI root
+    (file:// here, s3:// in production) keeps the manifest BESIDE the
+    stage data, with footer-derived lineage matching the actual rows."""
+    from js_hll_spark.plans.checkpoint import StageRunner
+
+    root = f"file://{tmp_path}/uri_stages"
+    runner = StageRunner(spark, root)
+    calls = []
+    out = runner.run(
+        "docs_subset",
+        lambda: (calls.append(1), documents.select("doc_id", "lang").limit(200))[1],
+    )
+    assert out.count() == 200
+    m = runner.manifest("docs_subset")
+    assert m is not None and m["rows"] == 200 and m["bytes"] > 0
+    assert sum(p["rows"] for p in m["partitions"]) == 200
+    # resume: complete stage is served without re-invoking build
+    out2 = runner.run("docs_subset", lambda: (_ for _ in ()).throw(AssertionError))
+    assert out2.count() == 200 and calls == [1]
+    # manifest physically lives under the URI root
+    import os
+
+    assert os.path.exists(
+        str(tmp_path / "uri_stages" / "stage=docs_subset" / "_manifest.json")
+    )
+
+
 def test_hash_convention_manifest(spark, documents, tmp_path):
     """ADVICE r3: the AK format does not record the hash function/seed,
     so a table merged under a different hashing convention would union
