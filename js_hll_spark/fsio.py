@@ -46,13 +46,18 @@ def makedirs(path: str) -> None:
 
 
 def read_text(path: str) -> str | None:
-    """File contents, or None if missing/unreadable."""
+    """File contents, or None ONLY when the file does not exist.
+    Transient IO failures (network blips, expired credentials on an
+    object store) PROPAGATE — mapping them to "missing" would let a
+    resume silently treat a complete remote stage as incomplete and
+    rebuild/overwrite it."""
+    from pyarrow import fs as pafs
+
     f, p = _resolve(path)
-    try:
-        with f.open_input_stream(p) as stream:
-            return stream.read().decode("utf-8")
-    except (OSError, FileNotFoundError):
+    if f.get_file_info(p).type == pafs.FileType.NotFound:
         return None
+    with f.open_input_stream(p) as stream:
+        return stream.read().decode("utf-8")
 
 
 def write_text_atomic(path: str, text: str) -> None:
@@ -65,11 +70,29 @@ def write_text_atomic(path: str, text: str) -> None:
     tmp = p + ".tmp"
     with f.open_output_stream(tmp) as stream:
         stream.write(text.encode("utf-8"))
+    # move directly: POSIX rename and object-store copy both OVERWRITE,
+    # so the old manifest stays readable up to the instant the new one
+    # lands. A pre-delete would open a crash window in which NEITHER
+    # manifest exists (a killed republish would then read as
+    # stage-incomplete and force a rebuild). The delete-then-move
+    # fallback only runs on filesystems whose rename refuses to clobber.
     try:
+        f.move(tmp, p)
+    except OSError:
+        try:
+            f.delete_file(p)
+        except (OSError, FileNotFoundError):
+            pass
+        f.move(tmp, p)
+
+
+def delete(path: str) -> None:
+    """Delete a file if present (no error when missing)."""
+    from pyarrow import fs as pafs
+
+    f, p = _resolve(path)
+    if f.get_file_info(p).type != pafs.FileType.NotFound:
         f.delete_file(p)
-    except (OSError, FileNotFoundError):
-        pass
-    f.move(tmp, p)
 
 
 def list_files(path: str) -> list[tuple[str, int]]:

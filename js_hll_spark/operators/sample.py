@@ -42,6 +42,16 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _tmp_name(df: DataFrame, base: str) -> str:
+    """A working-column name not already present on ``df`` — withColumn
+    REPLACES same-named columns, so an unlucky input column would be
+    silently overwritten and dropped."""
+    name = base
+    while name in df.columns:
+        name += "_"
+    return name
+
+
 def _md5_u01(col: Column) -> Column:
     """Uniform [0, 1) from the top 52 bits of md5(key) — deterministic,
     engine-reproducible (DuckDB: md5 -> substring -> 13 hex nibbles
@@ -60,12 +70,20 @@ def _key_u01(key_col: str, seed: str) -> Column:
       (seed, key) pairs can never collide ("a|b"+key "c" vs "a"+key
       "b|c") — without it, nominally independent seeds would be
       perfectly correlated on colliding pairs.
-    - A NULL key coalesces to a sentinel instead of propagating NULL
-      through md5: otherwise every null-keyed row silently vanishes
-      from Bernoulli samples (NULL < f is NULL = false) and from BOTH
-      halves of a split — the repo's recurring null-group bug class."""
+    - NULL keys draw through the marker 'n' while every real key is
+      prefixed 'v|' before hashing: no real string value can collide
+      with the null draw (a bare sentinel would share its u with any
+      key whose string form equals the sentinel), and without the
+      coalesce every null-keyed row silently vanishes from Bernoulli
+      samples (NULL < f is NULL = false) and from BOTH halves of a
+      split — the repo's recurring null-group bug class. The 'v|'
+      prefix is part of the hash-input contract: every external mirror
+      (DuckDB oracles in queries.py, tests/test_sampling.py) must
+      reproduce it."""
     prefix = f"{len(seed)}|{seed}|"
-    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
+    key = F.when(F.col(key_col).isNull(), F.lit("n")).otherwise(
+        F.concat(F.lit("v|"), F.col(key_col).cast("string"))
+    )
     return _md5_u01(F.concat(F.lit(prefix), key))
 
 
@@ -104,10 +122,11 @@ def sample_stratified(
 
     u = _key_u01(key_col, seed)
     w = Window.partitionBy(*by).orderBy(u.asc(), F.col(key_col).asc())
+    rk = _tmp_name(df, "__rk")
     return (
-        df.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
+        df.withColumn(rk, F.row_number().over(w))
+        .filter(F.col(rk) <= k)
+        .drop(rk)
     )
 
 
@@ -123,11 +142,12 @@ def sample_fixed(
     (local top-n per partition, single merge of the n-row heads), which
     survives any table size as long as n itself is driver-tractable."""
     u = _key_u01(key_col, seed)
+    uc = _tmp_name(df, "__u")
     return (
-        df.withColumn("__u", u)
-        .orderBy(F.col("__u").asc(), F.col(key_col).asc())
+        df.withColumn(uc, u)
+        .orderBy(F.col(uc).asc(), F.col(key_col).asc())
         .limit(n)
-        .drop("__u")
+        .drop(uc)
     )
 
 
@@ -154,15 +174,16 @@ def sample_weighted(
         # regardless of weight; clamp one quantum up
         F.greatest(u, F.lit(2.0 ** -52))
     ) / w
+    sc = _tmp_name(df, "__s")
     return (
         # NaN > 0 is TRUE under Spark's ordering semantics — exclude it
         # explicitly or NaN-weighted rows sort last and sneak in when n
         # exceeds the positive-weight row count
         df.filter((w > 0) & ~F.isnan(w))
-        .withColumn("__s", score)
-        .orderBy(F.col("__s").asc(), F.col(key_col).asc())
+        .withColumn(sc, score)
+        .orderBy(F.col(sc).asc(), F.col(key_col).asc())
         .limit(n)
-        .drop("__s")
+        .drop(sc)
     )
 
 

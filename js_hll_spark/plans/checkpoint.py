@@ -142,7 +142,4 @@ class StageRunner:
         return out
 
     def invalidate(self, name: str) -> None:
-        path = self._manifest_path(name)
-        if fsio.exists(path):
-            f, p = fsio._resolve(path)
-            f.delete_file(p)
+        fsio.delete(self._manifest_path(name))

@@ -2050,10 +2050,10 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
 
 def _sql_u01(seed: str) -> str:
     """DuckDB mirror of operators/sample._key_u01 on documents.doc_id
-    (length-prefixed seed, top-52-bit md5 uniform; the fixture has no
-    null doc_ids, so the null-sentinel branch is exercised in pytest
-    instead)."""
-    p = f"{len(seed)}|{seed}|"
+    (length-prefixed seed + 'v|' value marker, top-52-bit md5 uniform;
+    the fixture has no null doc_ids, so the null-marker branch is
+    exercised in pytest instead)."""
+    p = f"{len(seed)}|{seed}|v|"
     return (
         f"(('0x' || substring(md5('{p}' || doc_id::VARCHAR), 1, 13))::BIGINT"
         " / 4503599627370496.0)"

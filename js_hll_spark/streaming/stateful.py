@@ -40,7 +40,7 @@ def _interval_ms(interval: str) -> int:
     parts = interval.strip().split()
     if len(parts) != 2:
         raise ValueError(f"unsupported interval: {interval!r}")
-    n, unit = float(parts[0]), parts[1].rstrip("s").lower()
+    n, unit = float(parts[0]), parts[1].lower().rstrip("s")
     scale = {
         "millisecond": 1,
         "second": 1000,
@@ -120,6 +120,12 @@ def stateful_streaming_ndv(
     carry_ts = [F.col(ts_col).alias("__ts")] if expire else []
     hashed = (
         stream.withWatermark(ts_col, watermark)
+        # count(DISTINCT) semantics: NULL is not a value. xxhash64(NULL)
+        # returns the seed, so an unfiltered NULL would enter the sketch
+        # as one phantom distinct and break the documented exact-oracle
+        # parity (the same filter every batch sketch path applies —
+        # spark/agg.py, spark/sketch_agg.py)
+        .filter(F.col(value_col).isNotNull())
         .withColumn("window_start", F.window(ts_col, window).start)
         .select(
             "window_start",
@@ -133,7 +139,10 @@ def stateful_streaming_ndv(
                                StructField("rows_seen", LongType(), True)])
     out_fields = [StructField("window_start", TimestampType(), True)]
     for k in keys:
-        out_fields.append(StructField(k, StringType(), True))
+        # key columns keep the stream's actual types — an int shard key
+        # declared as StringType dies at the Arrow boundary (the same
+        # fix the heavy-hitters twin below already carries)
+        out_fields.append(StructField(k, stream.schema[k].dataType, True))
     out_fields += [
         StructField("ndv", DoubleType(), True),
         StructField("rows_seen", LongType(), True),
@@ -186,15 +195,24 @@ def stateful_streaming_ndv(
             # resolve to the DST side — at worst a 1 h skew twice a
             # year on non-UTC sessions, vs a constant utc-offset skew
             # if the key were read as UTC).
-            start = pd.Timestamp(key[0])
-            if start.tzinfo is None:
+            start = pd.Timestamp(key[0]) if key[0] is not None else pd.NaT
+            if start is not pd.NaT and start.tzinfo is None:
                 start = start.tz_localize(
                     session_tz, ambiguous=True, nonexistent="shift_forward"
                 )
-            end_ms = int(start.timestamp() * 1000) + expire_ms
-            state.setTimeoutTimestamp(
-                max(end_ms, state.getCurrentWatermarkMs() + 1)
-            )
+            if start is pd.NaT:
+                # a NULL event time yields a NULL window key; it has no
+                # window end to expire at, and NaT.timestamp() raises —
+                # leave the (single) null-window group unarmed rather
+                # than crash-loop the query or churn its state every
+                # trigger (same keep-the-null-window convention as the
+                # foreachBatch retention path)
+                pass
+            else:
+                end_ms = int(start.timestamp() * 1000) + expire_ms
+                state.setTimeoutTimestamp(
+                    max(end_ms, state.getCurrentWatermarkMs() + 1)
+                )
         out = {"window_start": [key[0]]}
         for i, k in enumerate(keys):
             out[k] = [key[i + 1]]
@@ -274,6 +292,12 @@ def stateful_streaming_heavy_hitters(
             rows_seen += len(pdf)
         state.update((pickle.dumps(counter), rows_seen))
         s = counter.counts
+        if len(s) > k:
+            # cut to the candidates before stringifying/sorting: the
+            # counter holds up to 8*pool entries and this runs per group
+            # per micro-batch; keeping everything >= the k-th count
+            # preserves the deterministic (n desc, tok asc) tie-break
+            s = s[s >= s.nlargest(k).min()]
         out = pd.DataFrame(
             {"tok": s.index.astype(str), "n": s.to_numpy().astype(np.int64)}
         )

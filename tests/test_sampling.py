@@ -23,8 +23,10 @@ def _duck():
 
 
 def U01_fmt(seed: str) -> str:
-    # mirror _key_u01's length-prefixed seed derivation
-    p = f"{len(seed)}|{seed}|"
+    # mirror _key_u01's length-prefixed seed + 'v|' value-marker
+    # derivation (the marker makes real keys collision-free vs the
+    # null draw)
+    p = f"{len(seed)}|{seed}|v|"
     return (
         f"(('0x' || substring(md5('{p}' || doc_id::VARCHAR), 1, 13))::BIGINT"
         " / 4503599627370496.0)"
@@ -211,6 +213,42 @@ def test_null_keys_survive_bernoulli_and_split(spark):
     assert train.count() + hold.count() == 4
     with pytest.raises(ValueError, match="holdout_fraction"):
         sample.split_train_holdout(df, -0.1, "k")
+
+
+def test_null_draw_independent_of_lookalike_keys(spark):
+    """The null draw goes through marker 'n' while real keys hash with a
+    'v|' prefix: a real key whose string form matches any sentinel text
+    must sample INDEPENDENTLY of null-keyed rows (the old bare-sentinel
+    encoding made them travel together under every seed)."""
+    df = spark.createDataFrame(
+        [(1, "\x00null"), (2, None), (3, "n"), (4, "v|x")], ["id", "k"]
+    )
+    split_differs = {pair: 0 for pair in ((1, 2), (3, 2))}
+    for seed in map(str, range(12)):
+        kept = {
+            r["id"]
+            for r in sample.sample_bernoulli(df, 0.5, "k", seed=seed).collect()
+        }
+        for a, b in split_differs:
+            if (a in kept) != (b in kept):
+                split_differs[(a, b)] += 1
+    assert all(v > 0 for v in split_differs.values()), split_differs
+
+
+def test_temp_columns_do_not_clobber_input(spark):
+    """The samplers' working columns pick non-colliding names: an input
+    that already carries __u/__s/__rk keeps its data in the output."""
+    rows = [(i, float(i + 1), f"u{i}", f"s{i}", i * 10) for i in range(20)]
+    df = spark.createDataFrame(rows, ["id", "w", "__u", "__s", "__rk"])
+    for out in (
+        sample.sample_fixed(df, 5, "id"),
+        sample.sample_weighted(df, 5, "id", "w"),
+        sample.sample_stratified(df, ["__rk"], 1, "id"),
+    ):
+        got = out.collect()
+        assert set(out.columns) == set(df.columns)
+        for r in got:
+            assert r["__u"] == f"u{r['id']}" and r["__s"] == f"s{r['id']}"
 
 
 def test_weighted_excludes_nan_and_nonpositive_weights(spark):
