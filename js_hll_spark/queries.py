@@ -2134,6 +2134,39 @@ WHERE {_sql_u01('')} < 0.25
 """
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Size-weighted fixed sample (Efraimidis–Spirakis keys from the
+    deterministic hash). Rows-only in the registry: the -ln(u)/w score
+    crosses libm implementations whose last-ulp differences could flip
+    an order tie at some scale — the exact DuckDB row-set mirror is
+    pinned at gate SF in tests/test_sampling.py instead."""
+    from .operators import sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return sample.sample_weighted(docs, 50, "doc_id", "n_chars")
+
+
+def q_dedup_pipeline_durable(spark, sf_dir):
+    """The composed md5 dedup pipeline through the DURABLE posting
+    stage (StageRunner parquet + lineage manifest) instead of
+    localCheckpoint — the fault-tolerant real-cluster materialization
+    path, exercised end to end. Rows-only here; byte-identity with the
+    localCheckpoint composition and the manifest/plan contract are
+    pinned by tests/test_operators.py::test_durable_posting_stage, and
+    the localCheckpoint twin dedup_pipeline is fully ORACLED."""
+    import tempfile
+
+    from .plans.checkpoint import StageRunner
+
+    runner = StageRunner(
+        spark, tempfile.mkdtemp(prefix="dedup_durable_stages_")
+    )
+    docs = _t_wide(spark, sf_dir, "documents")
+    postings = dedup.shingle_postings(docs, shingle_n=3, stage_runner=runner)
+    cand = dedup.minhash_lsh_candidates(postings=postings, k=8, bands=4)
+    return dedup.ngram_jaccard(pairs=cand, postings=postings, threshold=0.5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_filter_project": q_scan_filter_project,
     "join_broadcast_agg": q_join_broadcast_agg,
@@ -2207,6 +2240,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "sample_fixed": q_sample_fixed,
     "sample_split": q_sample_split,
+    "sample_weighted": q_sample_weighted,
+    "dedup_pipeline_durable": q_dedup_pipeline_durable,
 }
 
 ORACLES: dict[str, str] = {
