@@ -245,7 +245,12 @@ def merge_into_sketch_table(
         # materialize before the overwrite: merged reads lazily from the
         # very partitions the writer replaces; localCheckpoint forces the
         # read to finish first (bounded — sketch rows are KB-sized)
-        merged = merge_sketch_tables(old, new, [partition_col, *by]).localCheckpoint()
+        pre = merge_sketch_tables(old, new, [partition_col, *by])
+        merged = pre.localCheckpoint()
+        # merge_sketch_tables checkpoints its internal union (so the two
+        # aggregates share one evaluation) and hands back the RDD id —
+        # now that `merged` is materialized that union is retired
+        unpersist_by_id(spark, getattr(pre, "_retire_ckpt_id", None))
     try:
         (
             merged.write.mode("overwrite")

@@ -62,13 +62,26 @@ def _u01(ids: np.ndarray, salt: int) -> np.ndarray:
     return (_stream(ids, salt) >> _U(11)).astype(np.float64) / float(1 << 53)
 
 
-def _zipf_index(u: np.ndarray, n: int, s: float = 1.2) -> np.ndarray:
-    """Map uniform [0,1) to Zipf(s) ranks over n items via inverse CDF."""
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _zipf_cdf(n: int, s: float) -> np.ndarray:
+    """Normalized Zipf(s) CDF over n ranks. Cached: it depends only on
+    (n, s), which are fixed per table, while _zipf_index runs once per
+    Arrow batch per partition — at n_rows=1e9 (n_hosts=1e6) the rebuild
+    was ~1e5 redundant million-element power+cumsum passes dominating
+    the url-only generation path."""
     ranks = np.arange(1, n + 1, dtype=np.float64)
     weights = ranks ** -s
     cum = np.cumsum(weights)
     cum /= cum[-1]
-    return np.searchsorted(cum, u, side="right").clip(0, n - 1)
+    return cum
+
+
+def _zipf_index(u: np.ndarray, n: int, s: float = 1.2) -> np.ndarray:
+    """Map uniform [0,1) to Zipf(s) ranks over n items via inverse CDF."""
+    return np.searchsorted(_zipf_cdf(n, s), u, side="right").clip(0, n - 1)
 
 
 TAG_RE = re.compile(rb"<[^>]*>")
@@ -186,6 +199,14 @@ def webtext_table(
     n_hosts = max(10, n_rows // 1000)
     rng = spark.range(n_rows, numPartitions=partitions)
     cols = tuple(columns) if columns else _ALL_COLS
+    unknown = set(cols) - set(_ALL_COLS)
+    if unknown:
+        # fail fast: a typo'd column name would otherwise silently
+        # vanish from the generated schema and surface far downstream
+        raise ValueError(
+            f"unknown webtext columns {sorted(unknown)}; "
+            f"available: {list(_ALL_COLS)}"
+        )
     schema = StructType(
         [WEBTEXT_SCHEMA["row_id"]]
         + [WEBTEXT_SCHEMA[c] for c in _ALL_COLS if c in cols]

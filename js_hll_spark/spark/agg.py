@@ -51,6 +51,18 @@ _PID_COL = "__pid"
 _ROWS_COL = "rows_seen"
 
 
+
+def eq_null_safe_cond(left, right, keys):
+    """Fold an eqNullSafe key-equality join condition — a plain equality
+    join silently DROPS null-keyed groups (NULL = NULL is not true in
+    join conditions), the repo's recurring null-group bug class; every
+    keyed sketch merge joins through this."""
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(right[k])
+        cond = c if cond is None else cond & c
+    return cond
+
 def _null_safe_change_mask(kcols: list[pd.Series]) -> np.ndarray:
     """Row mask marking group boundaries in key-sorted batches, treating
     null == null. Arrow->pandas surfaces nullable numeric/timestamp keys
@@ -662,13 +674,7 @@ def hll_sketch_explicit(
     merged = hll_rollup(partials, keys, estimate=estimate)
     if keys:
         rows_df = partials.groupBy(*keys).agg(F.sum(_ROWS_COL).alias(_ROWS_COL))
-        # eqNullSafe: a plain equality join would silently DROP the null
-        # group (NULL = NULL is not true in join conditions)
-        cond = None
-        for k in keys:
-            c = merged[k].eqNullSafe(rows_df[k])
-            cond = c if cond is None else cond & c
-        out = merged.join(rows_df, cond).select(
+        out = merged.join(rows_df, eq_null_safe_cond(merged, rows_df, keys)).select(
             *[merged[k] for k in keys],
             *[merged[c] for c in merged.columns if c not in keys],
             rows_df[_ROWS_COL],

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..core.hll import HLL
 from ..spark.agg import hll_sketch
+from ..spark.blocks import checkpoint_rdd_id, unpersist_by_id
 from ..spark.functions import hll_cardinality_udf
 
 
@@ -31,25 +32,31 @@ def merge_sketch_tables(
 ) -> DataFrame:
     """Union-merge two sketch tables on ``keys`` (full outer; sketches
     union where both sides have rows)."""
-    from ..spark.agg import hll_rollup
+    from ..spark.agg import eq_null_safe_cond, hll_rollup
+    from ..spark.blocks import checkpoint_rdd_id
 
     if current is None:
         return incoming
     both = current.select(*keys, "sketch", "rows_seen").unionByName(
         incoming.select(*keys, "sketch", "rows_seen")
-    )
+    ).localCheckpoint()
+    # the union feeds TWO aggregates (rollup + rows_seen sum); without
+    # the checkpoint the whole upstream subtree — batch partials AND the
+    # state parquet read — executed twice per merge (the same
+    # dual-consumer shape hll_sketch_explicit checkpoints for). The
+    # checkpoint's RDD id rides on the result as ``_retire_ckpt_id`` so
+    # the caller can release the blocks once the result is materialized
+    # (js_hll_spark.spark.blocks.unpersist_by_id — both in-repo callers
+    # do; a leaked id costs one bounded sketch-table copy).
     merged = hll_rollup(both, keys, estimate=False)
     rows = both.groupBy(*keys).agg(F.sum("rows_seen").alias("rows_seen"))
-    # eqNullSafe: an equality join would drop a null-keyed group
-    cond = None
-    for k in keys:
-        c = merged[k].eqNullSafe(rows[k])
-        cond = c if cond is None else cond & c
-    return merged.join(rows, cond).select(
+    out = merged.join(rows, eq_null_safe_cond(merged, rows, keys)).select(
         *[merged[k] for k in keys],
         merged["sketch"],
         rows["rows_seen"],
     )
+    out._retire_ckpt_id = checkpoint_rdd_id(both)
+    return out
 
 
 def streaming_ndv(
@@ -105,6 +112,21 @@ def streaming_ndv(
     # union is idempotent)
     marker_name = "_applied_batch"
 
+    def _query_id() -> str:
+        # the streaming checkpoint's stable query id ("id" persists for
+        # the checkpoint's lifetime; "runId" changes per restart). A
+        # RESET checkpoint mints a new id, which must invalidate the
+        # replay marker: batch ids restart at 0 after a reset, and a
+        # marker compared on batch id alone would silently drop the
+        # first N batches of genuinely NEW data as "replays".
+        import json as _json
+
+        try:
+            with open(os.path.join(checkpoint_dir, "metadata")) as f:
+                return str(_json.load(f).get("id", ""))
+        except (OSError, ValueError):
+            return ""
+
     def recover_state() -> None:
         # crash-safe swap recovery: a crash between rename(state -> old)
         # and rename(tmp -> state) leaves only .old — restore it. A crash
@@ -123,11 +145,15 @@ def streaming_ndv(
             if entry.startswith(base + ".tmp"):
                 shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
 
-    def _last_applied() -> int:
+    def _last_applied() -> tuple[int, str]:
+        """(batch_id, query_id) of the last applied batch; query_id is
+        '' for markers written before it was recorded (those keep the
+        legacy batch-id-only semantics)."""
         try:
             with open(os.path.join(state_path, marker_name)) as f:
-                return int(f.read().strip())
-        except (OSError, ValueError):
+                lines = f.read().strip().splitlines()
+                return int(lines[0]), lines[1] if len(lines) > 1 else ""
+        except (OSError, ValueError, IndexError):
             pass
         # legacy layout (pre-r4): marker sat beside the state dir; a
         # state dir written by older code must not lose its replay
@@ -138,19 +164,26 @@ def streaming_ndv(
         if os.path.isdir(state_path):
             try:
                 with open(os.path.join(state_dir, marker_name)) as f:
-                    return int(f.read().strip())
+                    return int(f.read().strip()), ""
             except (OSError, ValueError):
                 pass
-        return -1
+        return -1, ""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # recovery FIRST: a mid-swap crash must be repaired even while
+        # only empty micro-batches arrive, or readers see no state dir
+        # until the next non-empty batch
+        recover_state()
         if batch_df.isEmpty():
             return
-        recover_state()
-        if batch_id <= _last_applied():
+        qid = _query_id()
+        last_batch, last_qid = _last_applied()
+        if batch_id <= last_batch and (not last_qid or last_qid == qid):
             # replay after a crash past the swap but before the offset
             # commit: the union is idempotent on registers, but
-            # rows_seen sums — re-applying would inflate it permanently
+            # rows_seen sums — re-applying would inflate it permanently.
+            # A DIFFERENT query id means the checkpoint was reset and
+            # batch numbering restarted — that is new data, not a replay
             return
         with_window = batch_df.withColumn(
             "window_start", F.window(ts_col, window).start
@@ -169,6 +202,7 @@ def streaming_ndv(
         merged = merge_sketch_tables(
             current, partials, ["window_start", *keys]
         )
+        retire = [getattr(merged, "_retire_ckpt_id", None)]
         if retention is not None:
             # bound state by EVENT time: drop windows older than the
             # newest window seen minus the retention horizon (one
@@ -187,6 +221,7 @@ def streaming_ndv(
             #   merge_sketch_tables deliberately preserves via
             #   eqNullSafe — a plain >= filter would drop it as NULL
             merged = merged.localCheckpoint()
+            retire.append(checkpoint_rdd_id(merged))
             wcol = merged.schema["window_start"].dataType
             horizon = merged.select(
                 (
@@ -201,25 +236,32 @@ def streaming_ndv(
                 (F.col("window_start") >= F.col("__h"))
                 | F.col("window_start").isNull()
             ).drop("__h")
-        tmp = state_path + f".tmp{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        # marker goes into tmp BEFORE the swap — rename(tmp -> state) is
-        # then atomic for state AND marker together; no crash point can
-        # leave new state without its batch id
-        with open(os.path.join(tmp, marker_name), "w") as f:
-            f.write(str(batch_id))
-        old = state_path + ".old"
-        if os.path.exists(state_path):
-            os.rename(state_path, old)
-        os.rename(tmp, state_path)
-        shutil.rmtree(old, ignore_errors=True)
-        # migrate away the legacy sibling marker: the in-state marker
-        # now owns replay protection, and a stale sibling would
-        # otherwise outlive a future state reset
         try:
-            os.remove(os.path.join(state_dir, marker_name))
-        except OSError:
-            pass
+            tmp = state_path + f".tmp{batch_id}"
+            merged.write.mode("overwrite").parquet(tmp)
+            # marker goes into tmp BEFORE the swap — rename(tmp -> state)
+            # is then atomic for state AND marker together; no crash
+            # point can leave new state without its batch id. Line 2
+            # pins the checkpoint's query id (see _query_id).
+            with open(os.path.join(tmp, marker_name), "w") as f:
+                f.write(f"{batch_id}\n{qid}")
+            old = state_path + ".old"
+            if os.path.exists(state_path):
+                os.rename(state_path, old)
+            os.rename(tmp, state_path)
+            shutil.rmtree(old, ignore_errors=True)
+            # migrate away the legacy sibling marker: the in-state marker
+            # now owns replay protection, and a stale sibling would
+            # otherwise outlive a future state reset
+            try:
+                os.remove(os.path.join(state_dir, marker_name))
+            except OSError:
+                pass
+        finally:
+            # the swap consumed the checkpoints — release them, or a
+            # long-running stream pins one retired copy per micro-batch
+            for rid in retire:
+                unpersist_by_id(spark, rid)
 
     return (
         windowed.writeStream.foreachBatch(process_batch)
@@ -230,10 +272,15 @@ def streaming_ndv(
 
 
 def read_ndv_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Current per-window NDV estimates from the persisted sketch table.
-    Retries across the swap's brief rename window (state momentarily
-    absent between the two renames) instead of surfacing a
-    file-not-found to a concurrent reader."""
+    """Current per-window NDV estimates from the persisted sketch table,
+    as an EAGER SNAPSHOT: the rows are collected inside the retry loop,
+    so a state swap between this call and the caller's action cannot
+    fail the job on deleted files (a lazily-returned scan pins the old
+    file listing — the retry would never re-enter). Collecting is
+    bounded by design: the state table holds KB-sized sketch rows, one
+    per (window, key), capped by the ``retention`` horizon. Retries
+    cover the swap's brief rename window (state momentarily absent
+    between the two renames)."""
     import time as _time
 
     path = os.path.join(state_dir, "state")
@@ -241,10 +288,12 @@ def read_ndv_state(spark: SparkSession, state_dir: str) -> DataFrame:
     for _ in range(5):
         try:
             state = spark.read.parquet(path)
-            return state.withColumn(
+            rows = state.collect()  # eager: fails HERE, inside the retry
+            snap = spark.createDataFrame(rows, schema=state.schema)
+            return snap.withColumn(
                 "ndv", hll_cardinality_udf("sketch")
             ).drop("sketch")
-        except Exception as e:  # path momentarily absent mid-swap
+        except Exception as e:  # path/files momentarily absent mid-swap
             last = e
             _time.sleep(0.1)
     raise last

@@ -363,11 +363,17 @@ def test_stateful_streaming_heavy_hitters_eviction_invariant(spark, tmp_path):
 
 
 def test_replay_marker_travels_with_state(spark, events, tmp_path):
-    """ADVICE r3: the applied-batch marker must swap atomically WITH the
-    state (it is written into the tmp state dir before the rename), so a
-    replayed batch can never double-apply and inflate rows_seen. A full
-    replay of the same data from a fresh checkpoint (every batch id <=
-    the marker) must leave both NDV and rows_seen untouched."""
+    """ADVICE r3 + r5 review: the applied-batch marker swaps atomically
+    WITH the state (written into the tmp state dir before the rename)
+    and is BOUND to the streaming checkpoint's query id. Same-checkpoint
+    crash replays (the marker's reason to exist) dedupe exactly — pinned
+    by resuming from the SAME checkpoint, where Spark replays the
+    uncommitted batch. A FRESH checkpoint restarts batch numbering, so
+    its batches are treated as new data and re-applied: NDV must stay
+    identical (register union is idempotent) while rows_seen doubles —
+    the documented at-least-once accounting, chosen because the
+    alternative (batch-id-only dedup) silently DROPS genuinely new data
+    arriving after a checkpoint reset, which is permanent NDV loss."""
     import os
 
     src_dir = str(tmp_path / "replay_src")
@@ -396,17 +402,31 @@ def test_replay_marker_travels_with_state(spark, events, tmp_path):
 
     run("ck_a")
     state_path = os.path.join(state_dir, "state")
-    assert os.path.exists(os.path.join(state_path, "_applied_batch"))
+    marker = os.path.join(state_path, "_applied_batch")
+    assert os.path.exists(marker)
+    lines = open(marker).read().splitlines()
+    assert len(lines) == 2 and lines[1], "marker must pin the query id"
     before = sorted(
         (r["window_start"], r["ndv"], r["rows_seen"])
         for r in read_ndv_state(spark, state_dir).collect()
     )
-    run("ck_b")  # full replay, fresh checkpoint: batch ids restart at 0
+    # same checkpoint, nothing new: resuming must apply nothing (all
+    # batch ids <= marker under the SAME query id)
+    run("ck_a")
+    same = sorted(
+        (r["window_start"], r["ndv"], r["rows_seen"])
+        for r in read_ndv_state(spark, state_dir).collect()
+    )
+    assert same == before
+    # fresh checkpoint: batch ids restart at 0 under a NEW query id —
+    # new-data semantics: idempotent NDV, at-least-once rows_seen
+    run("ck_b")
     after = sorted(
         (r["window_start"], r["ndv"], r["rows_seen"])
         for r in read_ndv_state(spark, state_dir).collect()
     )
-    assert after == before
+    assert [(w, n) for w, n, _ in after] == [(w, n) for w, n, _ in before]
+    assert [c for _, _, c in after] == [2 * c for _, _, c in before]
 
 
 def test_state_retention_bounds_windows(spark, events, tmp_path):
