@@ -10,7 +10,7 @@ import struct
 
 import numpy as np
 
-from .cms import _mix
+from .cms import km_positions
 
 _U = np.uint64
 _MAGIC = b"BLM1"
@@ -35,15 +35,7 @@ class BloomFilter:
         return cls(m, k)
 
     def _positions(self, hashes: np.ndarray) -> np.ndarray:
-        h1 = hashes.astype(_U, copy=False)
-        h2 = _mix(h1) | _U(1)
-        with np.errstate(over="ignore"):
-            return np.stack(
-                [
-                    ((h1 + _U(i) * h2) % _U(self.n_bits)).astype(np.int64)
-                    for i in range(self.n_hashes)
-                ]
-            )
+        return km_positions(hashes, self.n_hashes, self.n_bits)
 
     def add_hashed(self, hashes: np.ndarray) -> None:
         pos = self._positions(hashes).ravel()

@@ -28,6 +28,21 @@ def _mix(h: np.ndarray) -> np.ndarray:
         return h ^ (h >> _U(33))
 
 
+def km_positions(hashes: np.ndarray, rows: int, modulus: int) -> np.ndarray:
+    """Kirsch–Mitzenmacher double hashing: a (rows, n) int64 index matrix
+    h1 + i*h2 mod ``modulus``, shared by CMS (rows=depth, modulus=width)
+    and Bloom (rows=n_hashes, modulus=n_bits)."""
+    h1 = hashes.astype(_U, copy=False)
+    h2 = _mix(h1) | _U(1)
+    with np.errstate(over="ignore"):
+        return np.stack(
+            [
+                ((h1 + _U(i) * h2) % _U(modulus)).astype(np.int64)
+                for i in range(rows)
+            ]
+        )
+
+
 class CountMinSketch:
     __slots__ = ("depth", "width", "table", "total")
 
@@ -41,14 +56,7 @@ class CountMinSketch:
 
     def _positions(self, hashes: np.ndarray) -> np.ndarray:
         """(depth, n) matrix of table column indexes."""
-        h1 = hashes.astype(_U, copy=False)
-        h2 = _mix(h1) | _U(1)
-        with np.errstate(over="ignore"):
-            rows = [
-                ((h1 + _U(i) * h2) % _U(self.width)).astype(np.int64)
-                for i in range(self.depth)
-            ]
-        return np.stack(rows)
+        return km_positions(hashes, self.depth, self.width)
 
     def update_hashed(self, hashes: np.ndarray, counts: np.ndarray | None = None) -> None:
         pos = self._positions(hashes)

@@ -149,6 +149,12 @@ class TDigest:
         if data[:4] != _MAGIC:
             raise ValueError("not a TDG1 blob")
         compression, n, size = struct.unpack_from("<ddi", data, 4)
+        expect = 24 + size * 16
+        if size < 0 or len(data) != expect:
+            raise ValueError(
+                f"truncated/oversized TDG1 blob: {len(data)} bytes, "
+                f"header declares {expect}"
+            )
         out = cls(compression)
         out.n = n
         pos = 4 + 20

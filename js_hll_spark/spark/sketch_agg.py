@@ -32,6 +32,13 @@ from ..hashing import to_uint64
 
 _VAL = "__v"
 
+
+def _norm_key(g) -> tuple:
+    """Group-key tuple with NaN/NaT normalized to None (null-safe dict
+    identity across Arrow batches — same convention as agg._key_tuple)."""
+    gk = g if isinstance(g, tuple) else (g,)
+    return tuple(None if pd.isna(v) else v for v in gk)
+
 def _cms_update(s: CountMinSketch, v: np.ndarray, counts: np.ndarray | None = None) -> None:
     if counts is not None:
         # pre-aggregated (value, count) pairs from the JVM HashAggregate
@@ -121,7 +128,13 @@ def sketch_agg(
     elif spec["hashed"]:
         src = df.select(*keys, F.xxhash64(F.col(value_col)).alias(_VAL))
     else:
-        src = df.select(*keys, F.col(value_col).cast("double").alias(_VAL))
+        # numeric kinds: NaN is a NON-null double (survives the isNotNull
+        # filter above) that the sketch's own update() silently strips —
+        # drop it JVM-side so the merged sketch's item count and the
+        # reported rows_seen agree
+        src = df.select(
+            *keys, F.col(value_col).cast("double").alias(_VAL)
+        ).filter(F.col(_VAL).isNotNull() & ~F.isnan(F.col(_VAL)))
 
     key_fields = [src.schema[k] for k in keys]
     partial_schema = StructType(
@@ -171,8 +184,11 @@ def sketch_agg(
             if not keys:
                 groups = {(): np.arange(len(pdf))}
             else:
+                # _norm_key: pandas materializes a FRESH NaN/NaT object per
+                # batch, so un-normalized dict lookups miss and a null-keyed
+                # group would accrete one partial per batch
                 groups = {
-                    (g if isinstance(g, tuple) else (g,)): idx
+                    _norm_key(g): idx
                     for g, idx in pdf.groupby(
                         list(keys), sort=False, dropna=False
                     ).indices.items()
@@ -493,8 +509,7 @@ def _heavy_hitters_grouped(
             counters: dict[tuple, SpaceSavingCounter] = {}
             for pdf in batches:
                 for gkey, sub in pdf.groupby(keys, dropna=False, sort=False):
-                    if not isinstance(gkey, tuple):
-                        gkey = (gkey,)
+                    gkey = _norm_key(gkey)
                     c = counters.get(gkey)
                     if c is None:
                         c = counters[gkey] = SpaceSavingCounter(pool)

@@ -430,3 +430,84 @@ def test_sketch_agg_key_cap_flush_kll(spark):
     for g, q in list(rows.items())[:50]:
         i = int(g[1:])
         assert q == float(i % 97), (g, q)
+
+
+def test_norm_key_null_safe_across_fresh_nan_objects():
+    """pandas materializes a FRESH NaN/NaT object per Arrow batch; the
+    partial accumulator's dict key must normalize them to None or a
+    null-keyed group accretes one partial (and one SpaceSavingCounter)
+    per batch instead of one per partition."""
+    import numpy as np
+    import pandas as pd
+
+    from js_hll_spark.spark.sketch_agg import _norm_key
+
+    a, b = float("nan"), np.float64("nan")
+    assert a is not b and a != b  # fresh objects, the failure precondition
+    assert _norm_key(a) == _norm_key(b) == (None,)
+    assert _norm_key((np.float64("nan"), "en")) == (None, "en")
+    assert _norm_key((pd.NaT, 3)) == (None, 3)
+    assert _norm_key(("x", 1)) == ("x", 1)
+    # normalized keys are interchangeable dict keys across batches
+    acc = {_norm_key(a): "s"}
+    assert acc.get(_norm_key(b)) == "s"
+
+
+def test_sketch_agg_null_group_exact_at_tiny_arrow_batches(spark):
+    """Null-keyed groups spanning many Arrow batches must still merge to
+    one exact result (cross-batch dict identity for the NaN key)."""
+    rows = [(None, f"v{i % 5}") for i in range(40)] + [
+        ("g1", f"w{i % 3}") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "tok"]).coalesce(1)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        out = sketch_agg(
+            df, "tok", ["grp"], kind="cms", params={"depth": 5, "width": 2048}
+        )
+        got = {r["grp"]: r["rows_seen"] for r in out.collect()}
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == {None: 40, "g1": 30}
+
+
+def test_rows_seen_excludes_nan_for_numeric_kinds(spark):
+    """NaN is a non-null double: it passes the isNotNull filter but the
+    numeric sketches strip it on update — rows_seen must agree with what
+    the sketch actually absorbed (review r5: it over-counted)."""
+    vals = [1.0, 2.0, float("nan"), 3.0, float("nan"), 4.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    out = sketch_agg(df, "v", [], kind="kll", params={"k": 64}).collect()
+    assert len(out) == 1 and out[0]["rows_seen"] == 4
+
+    from js_hll_spark.core.tdigest import TDigest
+
+    out_td = sketch_agg(
+        df, "v", [], kind="tdigest", params={"compression": 100.0}
+    ).collect()
+    assert out_td[0]["rows_seen"] == 4
+    td = TDigest.from_bytes(bytes(out_td[0]["sketch"]))
+    assert td.n == 4  # sketch contents and rows_seen agree
+
+
+def test_tdigest_from_bytes_rejects_bad_lengths():
+    """TDigest was the one companion codec without blob-length validation
+    (trailing garbage decoded silently; truncation surfaced as a raw
+    numpy error)."""
+    import numpy as np
+    import pytest
+
+    from js_hll_spark.core.tdigest import TDigest
+
+    t = TDigest(100.0)
+    t.update(np.arange(500, dtype=np.float64))
+    blob = t.to_bytes()
+    assert TDigest.from_bytes(blob).n == 500
+    with pytest.raises(ValueError, match="TDG1"):
+        TDigest.from_bytes(blob + b"junkjunk")
+    with pytest.raises(ValueError, match="TDG1"):
+        TDigest.from_bytes(blob[: len(blob) - 7])
