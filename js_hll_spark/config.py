@@ -183,7 +183,7 @@ def config_for(
 
 
 def default_cutoff_byte(
-    explicit_auto: bool = True,
+    explicit_auto: bool | None = None,
     sparse_on: bool = True,
     explicit_threshold: int | None = None,
 ) -> int:
@@ -194,6 +194,11 @@ def default_cutoff_byte(
     spec's representable set — exact when t is itself a power of two), so
     the threshold survives a serialize/decode round trip instead of
     collapsing to 'explicit disabled'."""
+    if explicit_auto is None:
+        # infer: a caller passing ONLY explicit_threshold means "encode
+        # that threshold" — an explicit_auto=True default would silently
+        # discard it (review r5)
+        explicit_auto = explicit_threshold is None
     if explicit_auto:
         code = 63
     elif not explicit_threshold:

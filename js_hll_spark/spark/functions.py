@@ -59,10 +59,14 @@ def hll_union_pair_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 @pandas_udf(BinaryType())
 def hll_fold_udf(sketches: pd.Series, log2m: pd.Series) -> pd.Series:
-    """Fold each sketch to a smaller log2m (src/hll.js:363-398)."""
+    """Fold each sketch to a smaller log2m (src/hll.js:363-398). NULL in
+    either argument yields NULL (a null target arrives as NaN in a
+    float64 batch — int(NaN) would fail the whole task)."""
     return pd.Series(
         [
-            None if b is None else HLL.from_bytes(bytes(b)).fold(int(k)).to_bytes()
+            None
+            if b is None or pd.isna(k)
+            else HLL.from_bytes(bytes(b)).fold(int(k)).to_bytes()
             for b, k in zip(sketches, log2m)
         ]
     )
@@ -196,25 +200,27 @@ def hll_union_agg_udf(sketches: pd.Series) -> bytes:
     hll_rollup (streamed whole-batch assembly); this surface exists for
     SQL ergonomics and mixed-aggregate queries. Null blobs are skipped;
     an all-null group returns NULL (SQL aggregate convention)."""
+    acc = _union_series(sketches)
+    return acc.to_bytes() if acc is not None else None
+
+
+def _union_series(sketches: pd.Series) -> "HLL | None":
+    """Decode-and-union fold shared by the GROUPED_AGG surfaces: null
+    blobs are skipped, an all-null series returns None."""
     acc: HLL | None = None
     for b in sketches:
         if b is None:
             continue
         s = HLL.from_bytes(bytes(b))
         acc = s if acc is None else acc.union(s)
-    return acc.to_bytes() if acc is not None else None
+    return acc
 
 
 @pandas_udf(DoubleType())
 def hll_ndv_agg_udf(sketches: pd.Series) -> float:
     """GROUPED_AGG companion of hll_union_agg_udf that returns the
     estimate directly: SELECT lang, hll_ndv_agg(sketch) ... GROUP BY."""
-    acc: HLL | None = None
-    for b in sketches:
-        if b is None:
-            continue
-        s = HLL.from_bytes(bytes(b))
-        acc = s if acc is None else acc.union(s)
+    acc = _union_series(sketches)
     return acc.algorithm_cardinality() if acc is not None else None
 
 
@@ -256,7 +262,18 @@ def hll_hash_text_udf(v: pd.Series) -> pd.Series:
     mask = v.isna().to_numpy()
     out = pd.array([None] * len(v), dtype="Int64")
     if (~mask).any():
-        hashed = murmur3_64_bytes([str(s) for s in v[~mask]]).view(np.int64)
+        vals = v[~mask]
+        first = vals.iloc[0]
+        if not isinstance(first, (str, bytes, bytearray)):
+            # str(b'foo') would silently hash the Python repr "b'foo'" —
+            # refuse non-text input instead of producing unportable values
+            raise TypeError(
+                "hll_hash_text: expected a string (or utf-8 bytes) column, "
+                f"got {type(first).__name__}; cast upstream"
+            )
+        # pass the Series through: murmur3_64_bytes consumes str/bytes
+        # batches via pyarrow with zero per-row Python
+        hashed = murmur3_64_bytes(vals).view(np.int64)
         out[~mask] = hashed
     return pd.Series(out)
 

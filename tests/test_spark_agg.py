@@ -701,3 +701,58 @@ def test_keyed_merge_carry_across_tiny_arrow_batches(spark, events):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", small)
     assert tiny == normal
     assert None in normal[0]  # the null group survived
+
+
+def test_hll_fold_null_target_yields_null(spark):
+    """A NULL fold target (which turns the int batch into float64 with
+    NaN) must yield NULL for that row, not fail the task (review r5)."""
+    from js_hll_spark.spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    from js_hll_spark.spark.agg import hll_sketch
+
+    df = spark.range(50).selectExpr("concat('u', id) AS u")
+    hll_sketch(df, "u", log2m=11, regwidth=5).createOrReplaceTempView(
+        "sk_foldnull"
+    )
+    row = spark.sql(
+        """SELECT hll_fold(sketch, CASE WHEN false THEN 10 END) AS n,
+                  hll_fold(sketch, 10) AS f
+           FROM sk_foldnull"""
+    ).first()
+    assert row["n"] is None and row["f"] is not None
+
+
+def test_hll_hash_text_bytes_and_nontext(spark):
+    """hll_hash_text over a BINARY column hashes the raw bytes (same
+    value as the utf-8 string path — NOT the Python repr, which the old
+    str() coercion silently hashed); non-text columns raise."""
+    from js_hll_spark.spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    import pytest
+
+    hs = spark.sql("SELECT hll_hash_text('ab') AS h").first()["h"]
+    hb = (
+        spark.createDataFrame([(bytearray(b"ab"),)], ["t"])
+        .selectExpr("hll_hash_text(t) AS h")
+        .first()["h"]
+    )
+    assert hb == hs
+    with pytest.raises(Exception, match="hll_hash_text"):
+        spark.createDataFrame([(7,)], ["t"]).selectExpr(
+            "hll_hash_text(t) AS h"
+        ).collect()
+
+
+def test_default_cutoff_byte_threshold_alone_is_encoded():
+    """default_cutoff_byte(explicit_threshold=t) must encode t — the old
+    explicit_auto=True default silently discarded it (review r5)."""
+    from js_hll_spark.config import default_cutoff_byte
+
+    code = default_cutoff_byte(explicit_threshold=128) & 63
+    assert code not in (0, 63) and 2 ** (code - 1) == 128
+    # explicit call sites keep their behavior
+    assert default_cutoff_byte(explicit_auto=True) & 63 == 63
+    assert default_cutoff_byte(explicit_auto=False) & 63 == 0
+    assert default_cutoff_byte() & 63 == 63
