@@ -96,6 +96,17 @@ def _key_tuple(kcols: list[pd.Series], i: int) -> tuple:
     return tuple(vals)
 
 
+def norm_group_key(g) -> tuple:
+    """groupby().indices key as a NaN/NaT->None-normalized tuple.
+    pandas materializes a FRESH NaN object per Arrow batch, so
+    un-normalized dict lookups miss and a null-keyed group accretes one
+    accumulator per batch instead of one per partition (results stay
+    correct — the merge re-reduces — but state and shuffle inflate by
+    the batch count)."""
+    gk = g if isinstance(g, tuple) else (g,)
+    return tuple(None if pd.isna(v) else v for v in gk)
+
+
 def _hash_column(col: str, method: str):
     if method == "xxhash64":
         return F.xxhash64(F.col(col))
@@ -168,7 +179,7 @@ def _make_partial_fn(
                 continue
             groups = pdf.groupby(list(keys), sort=False, dropna=False).indices
             for gkey, idx in groups.items():
-                gk = gkey if isinstance(gkey, tuple) else (gkey,)
+                gk = norm_group_key(gkey)
                 r = regs.get(gk)
                 if r is None:
                     r = regs[gk] = np.zeros(m, dtype=np.uint8)
@@ -639,7 +650,7 @@ def hll_sketch_explicit(
                 continue
             groups = pdf.groupby(list(keys), sort=False, dropna=False).indices
             for gkey, idx in groups.items():
-                gk = gkey if isinstance(gkey, tuple) else (gkey,)
+                gk = norm_group_key(gkey)
                 s = sk.get(gk)
                 if s is None:
                     s = sk[gk] = HLL(config)

@@ -32,12 +32,9 @@ from ..hashing import to_uint64
 
 _VAL = "__v"
 
-
-def _norm_key(g) -> tuple:
-    """Group-key tuple with NaN/NaT normalized to None (null-safe dict
-    identity across Arrow batches — same convention as agg._key_tuple)."""
-    gk = g if isinstance(g, tuple) else (g,)
-    return tuple(None if pd.isna(v) else v for v in gk)
+# null-safe dict identity for groupby keys across Arrow batches — the
+# canonical normalizer lives beside the HLL engine's partial fns
+from .agg import norm_group_key as _norm_key  # noqa: E402
 
 def _cms_update(s: CountMinSketch, v: np.ndarray, counts: np.ndarray | None = None) -> None:
     if counts is not None:
