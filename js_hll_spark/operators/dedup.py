@@ -619,7 +619,9 @@ def simhash_signatures_fast(
     schema = StructType(
         [
             StructField("doc_id", df.schema[id_col].dataType, False),
-            StructField("simhash", LongType(), False),
+            # NULL text -> NULL signature, matching the Catalyst twin
+            # (simhash_signatures propagates NULL through the expression)
+            StructField("simhash", LongType(), True),
         ]
     )
 
@@ -631,31 +633,36 @@ def simhash_signatures_fast(
                 .str.replace(r"\s+", " ", regex=True)
                 .str.strip()
             )
-            toks = norm.str.split(" ")
-            counts = toks.str.len().to_numpy()
+            # NULL text must be masked BEFORE the flatten: iterating a
+            # None/NaN "token list" raises and kills the whole task.
+            # Nullable Int64 (not float64 + NaN) keeps 64-bit signatures
+            # exact through Arrow.
+            valid = norm.notna().to_numpy()
+            sim_col = pd.array([pd.NA] * len(pdf), dtype="Int64")
+            toks = norm[valid].str.split(" ")
+            counts = toks.str.len().to_numpy().astype(np.int64)
             flat = [t for row in toks for t in row]
-            if not flat:
-                yield pd.DataFrame({"doc_id": pdf[id_col], "simhash": 0})
-                continue
-            h = murmur3_64_bytes(flat)
-            bits = (
-                (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)
-            ).astype(np.int64)
-            # tokens of one doc are contiguous in `flat`, so per-doc vote
-            # sums are a single reduceat over segment starts (2D add.at
-            # scatter is ~10x slower)
-            starts = np.zeros(len(pdf), dtype=np.int64)
-            np.cumsum(counts[:-1], out=starts[1:])
-            votes = 2 * np.add.reduceat(bits, starts, axis=0) - counts[:, None]
-            sim = np.where(votes > 0, 1, 0).astype(np.uint64)
-            weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
-            with np.errstate(over="ignore"):
-                sig = (sim * weights[None, :]).sum(axis=1, dtype=np.uint64)
+            if flat:
+                h = murmur3_64_bytes(flat)
+                bits = (
+                    (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)
+                ).astype(np.int64)
+                # tokens of one doc are contiguous in `flat`, so per-doc
+                # vote sums are a single reduceat over segment starts (2D
+                # add.at scatter is ~10x slower)
+                starts = np.zeros(len(counts), dtype=np.int64)
+                np.cumsum(counts[:-1], out=starts[1:])
+                votes = 2 * np.add.reduceat(bits, starts, axis=0) - counts[:, None]
+                sim = np.where(votes > 0, 1, 0).astype(np.uint64)
+                weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+                with np.errstate(over="ignore"):
+                    sig = (sim * weights[None, :]).sum(axis=1, dtype=np.uint64)
+                sim_col[valid] = sig.view(np.int64)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].to_numpy(),
-                    "simhash": sig.view(np.int64),
+                    "simhash": sim_col,
                 }
             )
 

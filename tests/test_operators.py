@@ -296,6 +296,23 @@ def test_simhash_verify_exact_dups_at_zero(spark, pages):
     assert ver.filter(F.col("hamming") > 3).count() == 0
 
 
+def test_simhash_fast_null_text_yields_null_signature(spark):
+    """A NULL text row must not kill the task (the pandas flatten would
+    iterate a None token list); both variants emit a NULL signature for
+    it and real signatures for the other rows."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, "alpha beta gamma")],
+        "row_id long, text string",
+    )
+    for variant in (dedup.simhash_signatures_fast, dedup.simhash_signatures):
+        rows = {
+            r["doc_id"]: r["simhash"]
+            for r in variant(df, "text", "row_id").collect()
+        }
+        assert rows[2] is None
+        assert rows[1] is not None and rows[1] == rows[3]
+
+
 def test_ngram_jaccard_exact_dups_score_one(spark, pages):
     sample = pages.limit(600)
     truth = true_dup_pairs(sample)
