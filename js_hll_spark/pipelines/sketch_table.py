@@ -21,7 +21,6 @@ read-modify-write of the whole table).
 from __future__ import annotations
 
 import json
-import os
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -126,7 +125,10 @@ def build_sketch_table(
         # first would break mode='error'/'ignore' semantics, whose
         # writes key off path existence)
         _check_meta(path, meta)
-    pre_existing = os.path.exists(path)
+    # fsio, not os.path: on an object-store URI a local-path probe is
+    # always False, and mode='ignore' would then re-label a pre-existing
+    # remote table whose write Spark silently skipped
+    pre_existing = fsio.exists(path)
     sk = hll_sketch(
         df, value_col, by=[partition_col, *by], estimate=False, **sketch_kw
     )
