@@ -696,3 +696,29 @@ def test_registry_oracled_queries_fill_and_rotate_driver_window():
         for k in range(len(oracled)):
             witnessed |= set(ORACLES) - excluded(r + k)
         assert witnessed == set(ORACLES)
+
+
+def test_scratch_dir_wipes_at_start_and_guard_raises(spark):
+    """Registry plumbing: (1) _scratch returns the SAME per-query dir
+    across invocations and wipes prior contents at start (bounds the
+    gate/bench temp footprint to one live copy per query); (2)
+    _guard_explicit_window raises self-describingly past the explicit
+    threshold and stays silent inside the window."""
+    import os
+
+    import pytest
+
+    from js_hll_spark.queries import _guard_explicit_window, _scratch
+
+    d1 = _scratch("pytest_scratch_probe")
+    with open(os.path.join(d1, "leftover.txt"), "w") as f:
+        f.write("x")
+    d2 = _scratch("pytest_scratch_probe")
+    assert d2 == d1 and os.listdir(d2) == []
+
+    df = spark.range(100).selectExpr("id % 2 AS g", "id AS v")
+    # 50 distinct per group <= threshold 64: silent
+    _guard_explicit_window(df, ["g"], "v", 64, "probe")
+    # past the threshold: loud and self-describing
+    with pytest.raises(ValueError, match="explicit threshold"):
+        _guard_explicit_window(df, ["g"], "v", 32, "probe")

@@ -290,3 +290,24 @@ def test_hash_convention_manifest(spark, documents, tmp_path):
             partition_col="source", by=["lang"], log2m=13,
             hash_method="murmur3",
         )
+
+
+def test_ignore_mode_never_relabels_existing_table(spark, documents, tmp_path):
+    """mode='ignore' against a pre-existing table silently skips the
+    write — the manifest must then stay UNTOUCHED (re-labeling a table
+    this call did not produce would mis-declare its convention). The
+    pre-existence probe goes through fsio so object-store URIs behave
+    the same as local paths."""
+    import json
+    import os
+
+    path = str(tmp_path / "ignore_sk")
+    _build(documents, path)
+    with open(os.path.join(path, "_meta.json")) as f:
+        before = json.load(f)
+    # second build under a DIFFERENT config with mode='ignore': Spark
+    # skips the write; the manifest must still describe the first build
+    _build(documents.limit(10), path, mode="ignore", regwidth=4)
+    with open(os.path.join(path, "_meta.json")) as f:
+        after = json.load(f)
+    assert after == before
