@@ -1,0 +1,218 @@
+"""Benchmark-contamination detection for training-data pipelines.
+
+The decontamination step every LLM data pipeline runs before training:
+find training documents that contain evaluation-set content, so they can
+be dropped (train/test leakage inflates benchmark scores). Detection is
+shingle overlap — a training doc is contaminated to the degree its word
+n-gram shingles appear anywhere in the eval corpus (the standard n-gram
+decontamination rule; exact-substring is its shingle_n -> inf limit).
+
+Two tiers, same output shape ``(doc_id, n_shingles, n_contaminated,
+frac)``:
+
+- ``contamination_exact``: inner-join the training posting table
+  against the DISTINCT eval shingle set on 8-byte xxhash64 keys, count
+  hits per doc. The eval side of the join is tiny relative to training
+  (benchmarks are KBs-to-MBs against TBs), so AQE broadcasts it at
+  runtime — no forced hint (an adversarially large eval corpus must
+  degrade to a shuffle join, not OOM an executor). This tier is exact
+  and DuckDB-reproducible (the registry oracles it).
+- ``contamination_bloom``: the 100 TB path — the eval shingle set
+  collapses to ONE Bloom-filter blob (spark/sketch_agg.py, OR-merged
+  bit arrays; ``n_bits/8`` bytes regardless of eval size), broadcast
+  once, and training postings probe it in a vectorized numpy pass per
+  Arrow batch with partition-local partial aggregation: one partial row
+  per (doc, Arrow batch) shuffles, the eval shingles themselves NEVER
+  shuffle. Bloom's one-sided error means ``n_contaminated`` can only
+  over-count (never a missed leak — the safe direction for
+  decontamination); at the pytest sizing no false positive fires and
+  the tier equals the exact one row-for-row.
+
+Shingle universe: distinct word n-gram shingles per doc via
+``dedup.shingle_postings`` — the same tokenizer/shingler the dedup
+family and its DuckDB oracle mirrors already pin, so ``frac`` is a
+fraction of the SAME distinct-shingle sets ``ngram_jaccard`` scores.
+Docs with NULL text produce no shingles and are never reported
+(consistent with count-distinct semantics: nothing to leak).
+
+Hash convention: the Bloom blob is built by ``sketch_agg`` over the raw
+shingle STRINGS (JVM-side ``xxhash64``), and probes carry the same
+``xxhash64(sh)`` through ``contains_hashed`` — identical to the oracled
+``bloom_membership`` pipeline, so build and probe conventions match by
+construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import shingle_postings, shingles
+
+
+def _train_postings(
+    train: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    postings: DataFrame | None,
+) -> DataFrame:
+    if train is None and postings is None:
+        raise ValueError(
+            "pass train (raw documents) or postings (a shingle_postings "
+            "table) — with neither there is nothing to check"
+        )
+    if postings is None:
+        # lazy: each tier consumes the posting chain exactly once, so
+        # there is nothing to share/materialize (unlike the composed
+        # dedup tiers, where three stages re-read it)
+        postings = shingle_postings(
+            train, text_col, id_col, shingle_n=shingle_n, materialize=False
+        )
+    return postings
+
+
+def eval_shingles(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    *,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The eval corpus' shingle stream (column ``sh``, per-doc
+    distinct). Deliberately NOT globally distinct: the exact tier
+    dedups on 8-byte hashes (a string-keyed distinct would shuffle the
+    shingle text itself) and the Bloom build is idempotent per value
+    (duplicate updates OR the same bits), so neither consumer needs —
+    or should pay for — a string shuffle here."""
+    return eval_df.select(
+        F.explode(
+            F.array_distinct(shingles(F.col(text_col), shingle_n))
+        ).alias("sh")
+    )
+
+
+def contamination_exact(
+    train: DataFrame | None = None,
+    eval_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    min_frac: float = 0.0,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Exact contamination fraction per training doc: the share of its
+    distinct shingles that appear anywhere in the eval corpus. Returns
+    ``(doc_id, n_shingles, n_contaminated, frac)`` for docs with
+    rounded ``frac >= min_frac`` (rounded-value filtering — the repo's
+    oracle-boundary convention)."""
+    if eval_df is None:
+        raise ValueError("pass eval_df (the evaluation corpus)")
+    tr = _train_postings(train, text_col, id_col, shingle_n, postings).select(
+        "__id", F.xxhash64("sh").alias("__h")
+    )
+    ev = (
+        eval_shingles(eval_df, text_col, shingle_n=shingle_n)
+        .select(F.xxhash64("sh").alias("__h"))
+        .distinct()  # dedup on the 8-byte key, not the shingle string
+    )
+    sizes = tr.groupBy("__id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        tr.join(ev, "__h")  # no broadcast hint: AQE decides (module doc)
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    out = sizes.join(hits, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        "n_shingles",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        F.round(
+            F.coalesce("n_contaminated", F.lit(0)) / F.col("n_shingles"), 6
+        ).alias("frac"),
+    )
+    return out.filter(F.col("frac") >= min_frac)
+
+
+def contamination_bloom(
+    train: DataFrame | None = None,
+    eval_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    min_frac: float = 0.0,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 7,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Bloom-tier contamination: same output shape as
+    :func:`contamination_exact`, with the eval shingle set compressed to
+    one broadcast Bloom blob and probed executor-side (see module doc).
+    Over-counts with the filter's one-sided FP rate; never
+    under-counts."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..core.bloom import BloomFilter
+    from ..hashing import to_uint64
+    from ..spark.sketch_agg import sketch_agg
+
+    if eval_df is None:
+        raise ValueError("pass eval_df (the evaluation corpus)")
+    tr = _train_postings(train, text_col, id_col, shingle_n, postings).select(
+        "__id", F.xxhash64("sh").alias("__h")
+    )
+    ev = eval_shingles(eval_df, text_col, shingle_n=shingle_n)
+    blob = sketch_agg(
+        ev, "sh", kind="bloom", params={"n_bits": n_bits, "n_hashes": n_hashes}
+    ).select("sketch")
+
+    id_dt = tr.schema["__id"].dataType
+    part_schema = StructType(
+        [
+            StructField("__id", id_dt, False),
+            StructField("__n", LongType(), False),
+            StructField("__hit", LongType(), False),
+        ]
+    )
+
+    def probe_fn(batches):
+        bf = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if bf is None:
+                bf = BloomFilter.from_bytes(bytes(pdf["sketch"].iloc[0]))
+            member = bf.contains_hashed(
+                to_uint64(pdf["__h"].to_numpy())
+            ).astype(np.int64)
+            g = pd.DataFrame({"__id": pdf["__id"], "__m": member}).groupby(
+                "__id", sort=False, dropna=False
+            )
+            agg = g["__m"].agg(["count", "sum"]).reset_index()
+            yield pd.DataFrame(
+                {
+                    "__id": agg["__id"],
+                    "__n": agg["count"].astype(np.int64),
+                    "__hit": agg["sum"].astype(np.int64),
+                }
+            )
+
+    joined = tr.crossJoin(F.broadcast(blob))
+    partials = joined.mapInPandas(probe_fn, schema=part_schema)
+    out = (
+        partials.groupBy("__id")
+        .agg(
+            F.sum("__n").alias("n_shingles"),
+            F.sum("__hit").alias("n_contaminated"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_shingles",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated") / F.col("n_shingles"), 6
+            ).alias("frac"),
+        )
+    )
+    return out.filter(F.col("frac") >= min_frac)

@@ -2252,6 +2252,70 @@ def q_sample_weighted(spark, sf_dir):
     return sample.sample_weighted(docs, 50, "doc_id", "n_chars")
 
 
+def q_contamination_check(spark, sf_dir):
+    """Benchmark-contamination detection (the decontamination step of
+    an LLM data pipeline), ORACLED: split documents into a train corpus
+    and a synthetic "benchmark" (doc_id % 20), then report every train
+    doc whose distinct-shingle overlap with the eval set reaches 0.5 —
+    exact tier (posting join on xxhash64 keys), DuckDB mirrors the
+    identical shingle CTE and the ROUNDED-frac filter. The webtext
+    construction guarantees true leakage exists (exact dups span the
+    split). The broadcast-Bloom scale tier is contamination_bloom
+    below (rows-only; row-for-row equality with this tier at the gate
+    sizing is pinned in pytest)."""
+    from .operators import contamination
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return contamination.contamination_exact(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        min_frac=0.5,
+    )
+
+
+SQL_CONTAMINATION = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), sh0 AS (
+  SELECT DISTINCT doc_id, unnest(
+    [array_to_string(t[i:i+2], ' ')
+     for i in range(1, greatest(len(t)-3, 0)+2)]) AS sh
+  FROM toks
+), tr AS (
+  SELECT * FROM sh0 WHERE doc_id % 20 != 0
+), ev AS (
+  SELECT DISTINCT sh FROM sh0 WHERE doc_id % 20 = 0
+), sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id
+), hits AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM tr JOIN ev USING (sh) GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_shingles,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       round(COALESCE(h.n_contaminated, 0) / s.n_shingles, 6) AS frac
+FROM sizes s LEFT JOIN hits h USING (doc_id)
+WHERE round(COALESCE(h.n_contaminated, 0) / s.n_shingles, 6) >= 0.5
+"""
+
+
+def q_contamination_bloom(spark, sf_dir):
+    """The 100 TB contamination tier: the eval shingle set collapses to
+    one broadcast Bloom blob (128 KiB at 2^20 bits, independent of eval
+    size) probed executor-side; only (doc, batch) partials shuffle.
+    Rows-only here (Bloom FPs are sizing-dependent); equality with the
+    exact tier at this sizing — and the one-sided no-missed-leak
+    contract — are pinned in pytest."""
+    from .operators import contamination
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return contamination.contamination_bloom(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        min_frac=0.5,
+    )
+
+
 def q_dedup_pipeline_durable(spark, sf_dir):
     """The composed md5 dedup pipeline through the DURABLE posting
     stage (StageRunner parquet + lineage manifest) instead of
@@ -2346,6 +2410,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_fixed": q_sample_fixed,
     "sample_split": q_sample_split,
     "sample_weighted": q_sample_weighted,
+    "contamination_check": q_contamination_check,
+    "contamination_bloom": q_contamination_bloom,
     "dedup_pipeline_durable": q_dedup_pipeline_durable,
 }
 
@@ -2404,6 +2470,7 @@ ORACLES: dict[str, str] = {
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sample_fixed": SQL_SAMPLE_FIXED,
     "sample_split": SQL_SAMPLE_SPLIT,
+    "contamination_check": SQL_CONTAMINATION,
 }
 
 # The driver's CORRECTNESS artifact has a finite row budget (50 rows,

@@ -722,3 +722,63 @@ def test_scratch_dir_wipes_at_start_and_guard_raises(spark):
     # past the threshold: loud and self-describing
     with pytest.raises(ValueError, match="explicit threshold"):
         _guard_explicit_window(df, ["g"], "v", 32, "probe")
+
+
+def test_contamination_tiers_agree_and_bloom_is_one_sided(spark, pages):
+    """Decontamination contract: (1) the webtext construction plants
+    true leakage (exact dups span any id split), and the exact tier
+    reports every cross-split duplicate at frac 1.0; (2) the Bloom tier
+    equals the exact tier at the default sizing; (3) an aggressively
+    undersized filter may only OVER-count (per-doc n_contaminated >=
+    exact — a false positive can flag a clean doc, never hide a leak)."""
+    from js_hll_spark.operators import contamination
+
+    train = pages.filter(F.col("row_id") % 10 != 0)
+    ev = pages.filter(F.col("row_id") % 10 == 0)
+
+    exact = {
+        r["row_id"]: r
+        for r in contamination.contamination_exact(
+            train, ev, "text", "row_id"
+        ).collect()
+    }
+    # construction truth: any train row sharing a url with an eval row
+    # has identical text -> identical shingle set -> frac 1.0
+    leaked = {
+        r["id_a"]
+        for r in train.select(F.col("row_id").alias("id_a"), "url")
+        .join(ev.select("url"), "url", "left_semi")
+        .collect()
+    }
+    assert leaked  # the split really crosses duplicate groups
+    for rid in leaked:
+        assert exact[rid]["frac"] == 1.0
+
+    bloom = {
+        r["row_id"]: r
+        for r in contamination.contamination_bloom(
+            train, ev, "text", "row_id"
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in bloom.items()} == {
+        k: tuple(v) for k, v in exact.items()
+    }
+
+    tiny = {
+        r["row_id"]: r["n_contaminated"]
+        for r in contamination.contamination_bloom(
+            train, ev, "text", "row_id", n_bits=256, n_hashes=3
+        ).collect()
+    }
+    assert all(
+        tiny[rid] >= exact[rid]["n_contaminated"] for rid in exact
+    )  # one-sided: never under-counts
+
+
+def test_contamination_requires_inputs(spark, pages):
+    from js_hll_spark.operators import contamination
+
+    with pytest.raises(ValueError, match="train"):
+        contamination.contamination_exact(None, pages)
+    with pytest.raises(ValueError, match="eval_df"):
+        contamination.contamination_exact(pages)
