@@ -129,6 +129,8 @@ def main() -> None:
         "video_frame_sums",
         "heavy_hitters_cms",
         "clean_corpus",
+        "contamination_check",
+        "contamination_bloom",
     ]
     for name in bench_queries:
         fn = QUERIES[name]
