@@ -150,15 +150,28 @@ def contamination_bloom(
     *,
     shingle_n: int = 3,
     min_frac: float = 0.0,
-    n_bits: int = 1 << 20,
+    n_bits: int | None = None,
     n_hashes: int = 7,
+    fp_target: float = 1e-3,
     postings: DataFrame | None = None,
 ) -> DataFrame:
     """Bloom-tier contamination: same output shape as
     :func:`contamination_exact`, with the eval shingle set compressed to
     one broadcast Bloom blob and probed executor-side (see module doc).
     Over-counts with the filter's one-sided FP rate; never
-    under-counts."""
+    under-counts.
+
+    SIZING: by default (``n_bits=None``) the filter is auto-sized for
+    ``fp_target`` from a count of the eval shingle stream (one cheap
+    extra job over the SMALL side; the per-doc-distinct stream count
+    upper-bounds the true distinct count, which errs toward a larger —
+    safer — filter). A fixed undersized filter saturates silently: at
+    ~1.8M eval shingles into 2^20 bits the per-shingle FP rate passes
+    0.6 and nearly every training doc crosses min_frac (measured on the
+    dedup-axis corpus at 1.6M docs). Pass ``n_bits``/``n_hashes``
+    explicitly only for fixed memory budgets you have sized yourself."""
+    import math
+
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
@@ -173,6 +186,12 @@ def contamination_bloom(
         "__id", F.xxhash64("sh").alias("__h")
     )
     ev = eval_shingles(eval_df, text_col, shingle_n=shingle_n)
+    if n_bits is None:
+        # BloomFilter.for_capacity's formula, 8-aligned; floor keeps tiny
+        # eval sets from degenerate filters
+        n = max(1, ev.count())
+        n_bits = max(1 << 14, (int(-n * math.log(fp_target) / (math.log(2) ** 2)) + 7) // 8 * 8)
+        n_hashes = max(1, round(n_bits / n * math.log(2)))
     # collect the ONE KB-sized blob row and ship it as a TorrentBroadcast
     # variable (a bounded driver action — the index-build step, same
     # contract as the ANN train sample). A crossJoin(broadcast(blob))

@@ -2301,8 +2301,9 @@ WHERE round(COALESCE(h.n_contaminated, 0) / s.n_shingles, 6) >= 0.5
 
 def q_contamination_bloom(spark, sf_dir):
     """The 100 TB contamination tier: the eval shingle set collapses to
-    one broadcast Bloom blob (128 KiB at 2^20 bits, independent of eval
-    size) probed executor-side; only (doc, batch) partials shuffle.
+    one broadcast Bloom blob (auto-sized for FP 1e-3 from the eval
+    shingle count — a fixed size saturates silently on large eval sets)
+    probed executor-side; only (doc, batch) partials shuffle.
     Rows-only here (Bloom FPs are sizing-dependent); equality with the
     exact tier at this sizing — and the one-sided no-missed-leak
     contract — are pinned in pytest."""

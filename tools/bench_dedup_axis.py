@@ -41,6 +41,7 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F  # noqa: E402
 from pyspark.sql.types import (  # noqa: E402
     LongType,
     StringType,
@@ -178,12 +179,42 @@ def main() -> None:
                 pairs, nodes=docs.select("row_id"), id_a="id_a", id_b="id_b"
             ).count()
 
+        def q_contamination():
+            # decontamination over the same corpus: 1-in-20 docs act as
+            # the "benchmark"; exact tier (posting join)
+            from js_hll_spark.operators import contamination
+
+            return contamination.contamination_exact(
+                docs.filter(F.col("row_id") % 20 != 0),
+                docs.filter(F.col("row_id") % 20 == 0),
+                "text",
+                "row_id",
+                min_frac=0.5,
+            ).count()
+
+        def q_contamination_bloom():
+            from js_hll_spark.operators import contamination
+
+            return contamination.contamination_bloom(
+                docs.filter(F.col("row_id") % 20 != 0),
+                docs.filter(F.col("row_id") % 20 == 0),
+                "text",
+                "row_id",
+                min_frac=0.5,
+            ).count()
+
         qfns = [
             ("dedup_exact", q_exact),
             ("minhash_lsh_fast", q_lsh),
             ("dedup_pipeline_fast", q_pipeline),
             ("dedup_clusters_fast", q_clusters),
+            ("contamination_exact", q_contamination),
+            ("contamination_bloom", q_contamination_bloom),
         ]
+        only = os.environ.get("AXIS_QUERIES")
+        if only:
+            wanted = {s.strip() for s in only.split(",")}
+            qfns = [(n, f) for n, f in qfns if n in wanted]
         runs: dict[str, list] = {name: [] for name, _ in qfns}
         if INTERLEAVE:
             for _ in range(REPS):
