@@ -51,3 +51,38 @@ def test_error_scales_with_precision():
         return math.sqrt(sum(e * e for e in errs) / len(errs))
 
     assert rms(14) < rms(10)
+
+
+def test_bound_check_query_margin(spark):
+    """The ORACLED accuracy-contract query (q_hll_ndv_bound_check) must
+    not merely return within_bound=true — the realized per-lang relative
+    error at gate scale must sit comfortably inside the 3-sigma bound
+    (margin >= 2x), so the driver-witnessed boolean cannot flip on a
+    data refresh that nudges NDVs within the same magnitude."""
+    from pyspark.sql import functions as F
+
+    from js_hll_spark.config import HLLConfig
+    from js_hll_spark.queries import QUERIES, _t
+    from js_hll_spark.spark.agg import hll_ndv
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = QUERIES["hll_ndv_bound_check"](spark, sf).collect()
+        assert rows and all(r.within_bound for r in rows), sf
+
+    # margin at the GATE's scale factor (sf0.01; sf0.001's smallest
+    # group has NDV 64 where integer estimate granularity alone is ~2%)
+    sf = "/root/testdata/sf0.01"
+    docs = _t(spark, sf, "documents")
+    approx = hll_ndv(docs, "text", by=["lang"], log2m=13)
+    exact = docs.groupBy("lang").agg(
+        F.countDistinct("text").alias("ndv_exact")
+    )
+    errs = (
+        approx.join(exact, "lang")
+        .select(
+            (F.abs(F.col("ndv") - F.col("ndv_exact")) / F.col("ndv_exact")).alias("e")
+        )
+        .collect()
+    )
+    bound = 3.0 * HLLConfig(log2m=13).relative_error
+    assert max(r.e for r in errs) <= bound / 2.0, (max(r.e for r in errs), bound)

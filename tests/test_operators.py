@@ -691,6 +691,16 @@ def test_registry_oracled_queries_fill_and_rotate_driver_window():
             rot = oracled[off:] + oracled[:off]
             return set(rot[DRIVER_WINDOW:])
         assert excluded(r) != excluded(r + 1)
+        # consecutive-round windows turn over exactly min(step, excess)
+        # entries (VERDICT r5 #6), and the step is coprime with the
+        # oracled count so the offset walks EVERY residue — a shared
+        # factor would pin some entries to a fixed revisit cadence
+        import math
+
+        turnover = min(_ROTATION_STEP, excess)
+        assert len(excluded(r) - excluded(r + 1)) == turnover
+        assert len(excluded(r + 1) - excluded(r)) == turnover
+        assert math.gcd(_ROTATION_STEP, len(oracled)) == 1
         # and over a full cycle every oracled entry appears in-window
         witnessed = set()
         for k in range(len(oracled)):
