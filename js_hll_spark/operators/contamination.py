@@ -104,7 +104,16 @@ def contamination_exact(
     distinct shingles that appear anywhere in the eval corpus. Returns
     ``(doc_id, n_shingles, n_contaminated, frac)`` for docs with
     rounded ``frac >= min_frac`` (rounded-value filtering — the repo's
-    oracle-boundary convention)."""
+    oracle-boundary convention).
+
+    "Exact" carries one stated caveat (ADVICE r5): the join runs on
+    8-byte ``xxhash64`` keys, not shingle strings, so a cross-corpus
+    hash collision (probability ~2^-64 per train/eval shingle pair)
+    would over-count ``n_contaminated`` by one — and, because the
+    DuckDB oracle joins the strings themselves, surface as an oracle
+    hash mismatch rather than silently. Hashed keys are the point at
+    scale (the join shuffles 8 bytes instead of the shingle text); at
+    gate scale the collision probability across all pairs is ~1e-11."""
     if eval_df is None:
         raise ValueError("pass eval_df (the evaluation corpus)")
     tr = _train_postings(train, text_col, id_col, shingle_n, postings).select(
@@ -162,49 +171,87 @@ def contamination_bloom(
     under-counts.
 
     SIZING: by default (``n_bits=None``) the filter is auto-sized for
-    ``fp_target`` from a count of the eval shingle stream (one cheap
-    extra job over the SMALL side; the per-doc-distinct stream count
-    upper-bounds the true distinct count, which errs toward a larger —
-    safer — filter). A fixed undersized filter saturates silently: at
-    ~1.8M eval shingles into 2^20 bits the per-shingle FP rate passes
-    0.6 and nearly every training doc crosses min_frac (measured on the
-    dedup-axis corpus at 1.6M docs). Pass ``n_bits``/``n_hashes``
-    explicitly only for fixed memory budgets you have sized yourself."""
+    ``fp_target`` from the EXACT distinct eval-shingle count (free with
+    the single-job build below). A fixed undersized filter saturates
+    silently: at ~1.8M eval shingles into 2^20 bits the per-shingle FP
+    rate passes 0.6 and nearly every training doc crosses min_frac
+    (measured on the dedup-axis corpus at 1.6M docs). Pass
+    ``n_bits``/``n_hashes`` explicitly only for fixed memory budgets you
+    have sized yourself (``n_hashes`` is ignored under auto sizing,
+    where the optimal count is derived and capped at 30 — a tiny eval
+    corpus against the 2^14-bit floor would otherwise ask for hundreds
+    of index rows per probe batch for no FP benefit).
+
+    The eval side runs as ONE job (VERDICT r5 #3): each partition emits
+    its distinct 8-byte shingle hashes, the driver merges them with one
+    ``np.unique`` — giving the exact distinct count for sizing AND the
+    hash set to build the blob from, locally, with zero further jobs.
+    Driver materialization is 8 bytes per distinct eval shingle, the
+    same small-eval-side assumption the whole operator rests on (MBs for
+    real benchmark suites; the blob itself was already a driver
+    collect). Probe-side convention is unchanged: the blob's positions
+    are derived from the same JVM ``xxhash64(sh)`` the probe carries.
+    Construction stays EAGER (the one job fires now): the blob must
+    exist before the probe plan can close over its broadcast — a
+    serving-API trade, same as ann_ivfpq's query-side materialization.
+    """
     import math
 
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     from ..core.bloom import BloomFilter
     from ..hashing import to_uint64
-    from ..spark.sketch_agg import sketch_agg
 
     if eval_df is None:
         raise ValueError("pass eval_df (the evaluation corpus)")
     tr = _train_postings(train, text_col, id_col, shingle_n, postings).select(
         "__id", F.xxhash64("sh").alias("__h")
     )
-    ev = eval_shingles(eval_df, text_col, shingle_n=shingle_n)
+    ev = eval_shingles(eval_df, text_col, shingle_n=shingle_n).select(
+        F.xxhash64("sh").alias("__h")
+    )
+
+    def distinct_partial(batches):
+        parts = [
+            to_uint64(pdf["__h"].to_numpy()) for pdf in batches if len(pdf)
+        ]
+        if parts:
+            arr = np.unique(np.concatenate(parts))
+            yield pd.DataFrame({"__hs": [arr.tobytes()]})
+
+    hash_rows = ev.mapInPandas(
+        distinct_partial, schema=StructType([StructField("__hs", BinaryType())])
+    ).collect()
+    hashes = np.unique(
+        np.concatenate(
+            [np.frombuffer(r[0], dtype=np.uint64) for r in hash_rows]
+        )
+        if hash_rows
+        else [np.empty(0, dtype=np.uint64)]
+    )
+    n = max(1, len(hashes))
     if n_bits is None:
         # BloomFilter.for_capacity's formula, 8-aligned; floor keeps tiny
-        # eval sets from degenerate filters
-        n = max(1, ev.count())
+        # eval sets from degenerate filters; k derived from the exact n
+        # and capped (ADVICE r5: the floor would otherwise blow k up)
         n_bits = max(1 << 14, (int(-n * math.log(fp_target) / (math.log(2) ** 2)) + 7) // 8 * 8)
-        n_hashes = max(1, round(n_bits / n * math.log(2)))
-    # collect the ONE KB-sized blob row and ship it as a TorrentBroadcast
-    # variable (a bounded driver action — the index-build step, same
-    # contract as the ANN train sample). A crossJoin(broadcast(blob))
-    # would instead stamp the n_bits/8-byte binary onto EVERY posting
-    # row through the Arrow boundary — measured as a netty
-    # direct-memory OOM at 30M postings x 128 KiB. This makes the
-    # operator eager at construction (the eval aggregation runs now);
-    # it is a serving API whose result is always executed, same
-    # trade as ann_ivfpq's query-side materialization.
-    blob_rows = sketch_agg(
-        ev, "sh", kind="bloom", params={"n_bits": n_bits, "n_hashes": n_hashes}
-    ).select("sketch").collect()
-    bc = tr.sparkSession.sparkContext.broadcast(bytes(blob_rows[0][0]))
+        n_hashes = max(1, min(30, round(n_bits / n * math.log(2))))
+    bf = BloomFilter(n_bits, n_hashes)
+    bf.add_hashed(hashes)
+    # ship the ONE KB-sized blob as a TorrentBroadcast variable (a
+    # bounded driver action — the index-build step, same contract as the
+    # ANN train sample). A crossJoin(broadcast(blob)) would instead
+    # stamp the n_bits/8-byte binary onto EVERY posting row through the
+    # Arrow boundary — measured as a netty direct-memory OOM at 30M
+    # postings x 128 KiB.
+    bc = tr.sparkSession.sparkContext.broadcast(bf.to_bytes())
 
     id_dt = tr.schema["__id"].dataType
     part_schema = StructType(

@@ -812,3 +812,24 @@ def test_contamination_requires_inputs(spark, pages):
         contamination.contamination_exact(None, pages)
     with pytest.raises(ValueError, match="eval_df"):
         contamination.contamination_exact(pages)
+
+
+def test_contamination_bloom_single_eval_job(spark, pages):
+    """VERDICT r5 #3: contamination_bloom's construction must run
+    exactly ONE Spark job over the eval side (the distinct-hash partial
+    collect that both sizes and fills the blob) — the r5 shape ran the
+    scan->shingle chain twice (an ev.count() for sizing plus the Bloom
+    aggregation)."""
+    from js_hll_spark.operators import contamination
+
+    train = pages.filter(F.col("row_id") % 10 != 0)
+    ev = pages.filter(F.col("row_id") % 10 == 0)
+    sc = spark.sparkContext
+    sc.setJobGroup("contamination-build", "eval-side construction")
+    try:
+        out = contamination.contamination_bloom(train, ev, "text", "row_id")
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("contamination-build")
+    assert len(jobs) == 1, jobs
+    assert out.count() > 0  # the probe plan still executes lazily after
