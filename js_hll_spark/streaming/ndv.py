@@ -9,8 +9,17 @@ back. ``withWatermark`` bounds how late events may arrive before their
 window's sketch row is frozen.
 
 At cluster scale the state table would be an Iceberg table with
-MERGE INTO; the parquet swap here is the sandbox stand-in with the same
-semantics (atomic directory replace).
+MERGE INTO; the stand-in here mirrors Iceberg's commit model directly
+(VERDICT r5 #4): each micro-batch writes an IMMUTABLE versioned snapshot
+directory ``state.v{batch_id}`` and atomically publishes a pointer file
+``_current`` (write-tmp + ``os.replace``); readers resolve the pointer
+and lazily scan the pointed snapshot — no renames under a reader, no
+driver collect on the serving path. Snapshots older than the previous
+one are expired after each commit (Iceberg snapshot expiry), so a lazy
+reader keeps a one-micro-batch grace window; a plan held across two or
+more later commits may see expired files — re-call
+``read_ndv_state`` for a fresh snapshot, exactly as an Iceberg reader
+re-resolves the table's current snapshot.
 """
 
 from __future__ import annotations
@@ -59,6 +68,26 @@ def merge_sketch_tables(
     return out
 
 
+def _resolve_snapshot(state_dir: str) -> str | None:
+    """Directory of the current committed state snapshot: the target of
+    the ``_current`` pointer file when present (versioned layout), else
+    the legacy ``state/`` directory, else None. The pointer's target is
+    validated to exist — a pointer published just before a crash that
+    lost its snapshot must fall through to the legacy dir rather than
+    return a dangling path."""
+    try:
+        with open(os.path.join(state_dir, "_current")) as f:
+            target = f.read().strip()
+        if target:
+            p = os.path.join(state_dir, target)
+            if os.path.isdir(p):
+                return p
+    except OSError:
+        pass
+    legacy = os.path.join(state_dir, "state")
+    return legacy if os.path.isdir(legacy) else None
+
+
 def streaming_ndv(
     stream: DataFrame,
     value_col: str,
@@ -96,7 +125,8 @@ def streaming_ndv(
     """
     spark = stream.sparkSession
     keys = list(keys)
-    state_path = os.path.join(state_dir, "state")
+    state_path = os.path.join(state_dir, "state")  # legacy (pre-r6) layout
+    pointer_path = os.path.join(state_dir, "_current")
     checkpoint_dir = checkpoint_dir or os.path.join(state_dir, "_checkpoint")
 
     windowed = (
@@ -128,12 +158,15 @@ def streaming_ndv(
             return ""
 
     def recover_state() -> None:
-        # crash-safe swap recovery: a crash between rename(state -> old)
-        # and rename(tmp -> state) leaves only .old — restore it. A crash
-        # AFTER rename(tmp -> state) but before rmtree leaves BOTH: the
-        # orphaned .old must go, or every later swap's rename(state ->
-        # old) hits ENOTEMPTY and the stream wedges permanently. Stale
-        # .tmp* dirs from aborted writes are garbage either way.
+        # legacy (pre-r6 rename-swap layout) crash repair, kept so a
+        # state dir written by older code upgrades losslessly: a crash
+        # between rename(state -> old) and rename(tmp -> state) leaves
+        # only .old — restore it; an orphaned .old beside a live state
+        # is garbage, as are stale .tmp* dirs from aborted writes. The
+        # versioned layout needs no repair here — a partially-written
+        # snapshot dir is simply never pointed to (and is rewritten
+        # wholesale when its batch replays) — only a stale pointer tmp
+        # to sweep.
         old = state_path + ".old"
         if not os.path.exists(state_path) and os.path.exists(old):
             os.rename(old, state_path)
@@ -144,23 +177,29 @@ def streaming_ndv(
         for entry in os.listdir(parent) if os.path.isdir(parent) else ():
             if entry.startswith(base + ".tmp"):
                 shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+        try:
+            os.remove(pointer_path + ".tmp")
+        except OSError:
+            pass
 
     def _last_applied() -> tuple[int, str]:
         """(batch_id, query_id) of the last applied batch; query_id is
         '' for markers written before it was recorded (those keep the
         legacy batch-id-only semantics)."""
-        try:
-            with open(os.path.join(state_path, marker_name)) as f:
-                lines = f.read().strip().splitlines()
-                return int(lines[0]), lines[1] if len(lines) > 1 else ""
-        except (OSError, ValueError, IndexError):
-            pass
+        current = _resolve_snapshot(state_dir)
+        if current is not None:
+            try:
+                with open(os.path.join(current, marker_name)) as f:
+                    lines = f.read().strip().splitlines()
+                    return int(lines[0]), lines[1] if len(lines) > 1 else ""
+            except (OSError, ValueError, IndexError):
+                pass
         # legacy layout (pre-r4): marker sat beside the state dir; a
         # state dir written by older code must not lose its replay
         # protection across the upgrade. Honored ONLY while that state
         # still exists — after an operator wipes state/ to recompute
         # from scratch, a stale sibling marker must not silently drop
-        # the replayed batches (the first swap migrates it away).
+        # the replayed batches (the first commit migrates it away).
         if os.path.isdir(state_path):
             try:
                 with open(os.path.join(state_dir, marker_name)) as f:
@@ -178,12 +217,18 @@ def streaming_ndv(
             return
         qid = _query_id()
         last_batch, last_qid = _last_applied()
-        if batch_id <= last_batch and (not last_qid or last_qid == qid):
-            # replay after a crash past the swap but before the offset
+        if batch_id <= last_batch and (
+            not last_qid or not qid or last_qid == qid
+        ):
+            # replay after a crash past the commit but before the offset
             # commit: the union is idempotent on registers, but
             # rows_seen sums — re-applying would inflate it permanently.
             # A DIFFERENT query id means the checkpoint was reset and
-            # batch numbering restarted — that is new data, not a replay
+            # batch numbering restarted — that is new data, not a replay.
+            # An UNREADABLE query id (qid == '') is treated as unknown
+            # and falls back to the batch-id-only guard (ADVICE r5: ''
+            # matched neither branch, silently disabling the guard for
+            # exactly the replays it exists to stop)
             return
         with_window = batch_df.withColumn(
             "window_start", F.window(ts_col, window).start
@@ -197,8 +242,9 @@ def streaming_ndv(
             engine=engine,
         )
         current = None
-        if os.path.exists(state_path):
-            current = spark.read.parquet(state_path)
+        current_dir = _resolve_snapshot(state_dir)
+        if current_dir is not None:
+            current = spark.read.parquet(current_dir)
         merged = merge_sketch_tables(
             current, partials, ["window_start", *keys]
         )
@@ -237,22 +283,50 @@ def streaming_ndv(
                 | F.col("window_start").isNull()
             ).drop("__h")
         try:
-            tmp = state_path + f".tmp{batch_id}"
-            merged.write.mode("overwrite").parquet(tmp)
-            # marker goes into tmp BEFORE the swap — rename(tmp -> state)
-            # is then atomic for state AND marker together; no crash
-            # point can leave new state without its batch id. Line 2
-            # pins the checkpoint's query id (see _query_id).
-            with open(os.path.join(tmp, marker_name), "w") as f:
+            # Iceberg-style commit (module doc): write the new state as
+            # an IMMUTABLE snapshot dir, then atomically publish the
+            # pointer. The marker lands in the snapshot BEFORE the
+            # pointer flips, so no crash point can publish state without
+            # its batch id; a crash before the flip leaves an unpointed
+            # partial dir that this batch's replay rewrites wholesale
+            # (mode=overwrite). Line 2 of the marker pins the
+            # checkpoint's query id (see _query_id).
+            snap_name = f"state.v{batch_id}"
+            snap = os.path.join(state_dir, snap_name)
+            if current_dir is not None and os.path.basename(
+                current_dir
+            ) == snap_name:
+                # replaying the batch the pointer already names (its
+                # marker was unreadable): overwrite would delete the
+                # files the merge plan is reading — pin the result first
+                merged = merged.localCheckpoint()
+                retire.append(checkpoint_rdd_id(merged))
+            merged.write.mode("overwrite").parquet(snap)
+            with open(os.path.join(snap, marker_name), "w") as f:
                 f.write(f"{batch_id}\n{qid}")
-            old = state_path + ".old"
-            if os.path.exists(state_path):
-                os.rename(state_path, old)
-            os.rename(tmp, state_path)
-            shutil.rmtree(old, ignore_errors=True)
-            # migrate away the legacy sibling marker: the in-state marker
-            # now owns replay protection, and a stale sibling would
-            # otherwise outlive a future state reset
+            ptmp = pointer_path + ".tmp"
+            with open(ptmp, "w") as f:
+                f.write(snap_name)
+            os.replace(ptmp, pointer_path)  # atomic publish
+            # expire: keep exactly the snapshot just published and the
+            # one it superseded (a lazy reader of the previous snapshot
+            # gets a one-commit grace window — Iceberg snapshot expiry).
+            # Everything else goes: older versions AND unpointed orphans
+            # from aborted writes — keying on the POINTER lineage, not
+            # version order, so a high-numbered orphan can neither
+            # survive forever nor push a live snapshot out of the keep
+            # set. Also superseded: the legacy state/ dir and the legacy
+            # sibling marker (the in-snapshot marker owns replay
+            # protection).
+            keep = {snap_name}
+            if current_dir is not None:
+                keep.add(os.path.basename(current_dir))
+            for entry in os.listdir(state_dir):
+                if entry.startswith("state.v") and entry not in keep:
+                    shutil.rmtree(
+                        os.path.join(state_dir, entry), ignore_errors=True
+                    )
+            shutil.rmtree(state_path, ignore_errors=True)
             try:
                 os.remove(os.path.join(state_dir, marker_name))
             except OSError:
@@ -273,27 +347,32 @@ def streaming_ndv(
 
 def read_ndv_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """Current per-window NDV estimates from the persisted sketch table,
-    as an EAGER SNAPSHOT: the rows are collected inside the retry loop,
-    so a state swap between this call and the caller's action cannot
-    fail the job on deleted files (a lazily-returned scan pins the old
-    file listing — the retry would never re-enter). Collecting is
-    bounded by design: the state table holds KB-sized sketch rows, one
-    per (window, key), capped by the ``retention`` horizon. Retries
-    cover the swap's brief rename window (state momentarily absent
-    between the two renames)."""
+    as a LAZY scan of the current IMMUTABLE snapshot (VERDICT r5 #4 —
+    no driver collect on the serving path): the ``_current`` pointer is
+    resolved here, and the returned plan reads only that snapshot
+    directory, which the writer never renames or rewrites — a commit
+    racing this call publishes a NEW directory and leaves this one in
+    place. Snapshot expiry keeps current + previous, so the returned
+    DataFrame stays valid until two further micro-batches commit;
+    longer-held plans should re-call this function for a fresh snapshot
+    (the same contract as re-resolving an Iceberg table's snapshot).
+    The brief retry covers the pointer's first-ever publish racing this
+    call on a just-started stream; legacy (pre-r6) ``state/`` layouts
+    are read directly, with the one-time upgrade caveat that the first
+    versioned commit removes the legacy dir under any still-held legacy
+    plan."""
     import time as _time
 
-    path = os.path.join(state_dir, "state")
-    last: Exception | None = None
-    for _ in range(5):
-        try:
-            state = spark.read.parquet(path)
-            rows = state.collect()  # eager: fails HERE, inside the retry
-            snap = spark.createDataFrame(rows, schema=state.schema)
-            return snap.withColumn(
-                "ndv", hll_cardinality_udf("sketch")
-            ).drop("sketch")
-        except Exception as e:  # path/files momentarily absent mid-swap
-            last = e
-            _time.sleep(0.1)
-    raise last
+    for attempt in range(5):
+        snap = _resolve_snapshot(state_dir)
+        if snap is not None:
+            return (
+                spark.read.parquet(snap)
+                .withColumn("ndv", hll_cardinality_udf("sketch"))
+                .drop("sketch")
+            )
+        _time.sleep(0.1)
+    raise FileNotFoundError(
+        f"no committed NDV state under {state_dir} (no _current pointer "
+        "target and no legacy state/ directory)"
+    )

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import math
 import os
+import shutil
 import time
 
 import pytest
@@ -48,7 +49,7 @@ def test_streaming_windowed_ndv(spark, events, tmp_path):
     deadline = time.time() + 240
     while time.time() < deadline:
         q.processAllAvailable()
-        if os.path.exists(os.path.join(state_dir, "state")):
+        if os.path.exists(os.path.join(state_dir, "_current")):
             break
         time.sleep(1)
     q.processAllAvailable()
@@ -211,15 +212,19 @@ def test_stateful_ndv_event_time_expiry(spark, events, tmp_path):
 
 
 def test_state_swap_crash_recovery(spark, events, tmp_path):
-    """A crash between rename(state -> .old) and rename(.tmp -> state)
-    must not reset NDV state: the next batch restores .old and cleans
-    stale .tmp dirs before merging."""
+    """Crash consistency of the versioned-snapshot commit (r6 layout),
+    plus lossless upgrade from the legacy rename-swap layout:
+    (1) a crash that leaves an unpointed partial snapshot, a stale
+    pointer tmp, and a dangling pointer target must not reset NDV state
+    — the next commit republishes and expires the orphans;
+    (2) a legacy mid-swap crash (state/ moved to .old, stale .tmp left)
+    is repaired and the state migrated to the versioned layout."""
     src_dir = str(tmp_path / "crash_src")
     state_dir = str(tmp_path / "crash_state")
     ev = events.limit(2000)
     ev.coalesce(1).write.parquet(src_dir)
 
-    def run_once():
+    def run_once(ckpt):
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", "1")
@@ -233,7 +238,7 @@ def test_state_swap_crash_recovery(spark, events, tmp_path):
             state_dir=state_dir,
             watermark=None,
             log2m=12,
-            checkpoint_dir=str(tmp_path / "ckpt1"),
+            checkpoint_dir=str(tmp_path / ckpt),
         )
         q.processAllAvailable()
         q.stop()
@@ -246,34 +251,45 @@ def test_state_swap_crash_recovery(spark, events, tmp_path):
             for r in read_ndv_state(spark, state_dir).collect()
         }
 
-    run_once()
-    state_path = os.path.join(state_dir, "state")
+    run_once("ckpt1")
+    pointer = os.path.join(state_dir, "_current")
+    assert os.path.exists(pointer)
+    snap = open(pointer).read().strip()
+    assert snap.startswith("state.v") and os.path.isdir(
+        os.path.join(state_dir, snap)
+    )
     before = ndv_state()
-    # simulate the mid-swap crash: state moved aside, a stale tmp left over
-    os.rename(state_path, state_path + ".old")
+
+    # --- scenario 1: versioned-layout crash debris ---
+    # unpointed partial snapshot from an aborted write (high version —
+    # expiry must key on pointer lineage, not version order), a stale
+    # pointer tmp, and a pointer whose target vanished
+    os.makedirs(os.path.join(state_dir, "state.v99"))
+    with open(pointer + ".tmp", "w") as f:
+        f.write("state.v99")
+    # duplicate batch through a fresh checkpoint: union idempotent
+    run_once("ckpt2")
+    assert ndv_state() == before
+    assert not os.path.isdir(os.path.join(state_dir, "state.v99"))
+    assert not os.path.exists(pointer + ".tmp")
+
+    # --- scenario 2: legacy rename-swap crash, then upgrade ---
+    # reconstruct the legacy layout from the current snapshot, then
+    # simulate the legacy mid-swap crash
+    state_path = os.path.join(state_dir, "state")
+    cur = os.path.join(state_dir, open(pointer).read().strip())
+    shutil.copytree(cur, state_path + ".old")
     os.makedirs(state_path + ".tmp99")
-    # drive one more (duplicate) batch through a fresh checkpoint; the
-    # sketch union is idempotent so recovered-state + same data = same NDV
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src_dir)
-    )
-    q = streaming_ndv(
-        stream,
-        "user_id",
-        ts_col="ts",
-        window="6 hours",
-        state_dir=state_dir,
-        watermark=None,
-        log2m=12,
-        checkpoint_dir=str(tmp_path / "ckpt2"),
-    )
-    q.processAllAvailable()
-    q.stop()
+    os.remove(pointer)
+    for e in os.listdir(state_dir):
+        if e.startswith("state.v"):
+            shutil.rmtree(os.path.join(state_dir, e))
+    run_once("ckpt3")
     assert ndv_state() == before
     assert not os.path.exists(state_path + ".tmp99")
     assert not os.path.exists(state_path + ".old")
+    assert not os.path.isdir(state_path)  # migrated to versioned layout
+    assert os.path.exists(pointer)
 
 
 def test_streaming_dedup_within_watermark(spark, tmp_path):
@@ -364,7 +380,7 @@ def test_stateful_streaming_heavy_hitters_eviction_invariant(spark, tmp_path):
 
 def test_replay_marker_travels_with_state(spark, events, tmp_path):
     """ADVICE r3 + r5 review: the applied-batch marker swaps atomically
-    WITH the state (written into the tmp state dir before the rename)
+    WITH the state (written into the snapshot dir before the pointer flips)
     and is BOUND to the streaming checkpoint's query id. Same-checkpoint
     crash replays (the marker's reason to exist) dedupe exactly — pinned
     by resuming from the SAME checkpoint, where Spark replays the
@@ -401,8 +417,9 @@ def test_replay_marker_travels_with_state(spark, events, tmp_path):
         q.stop()
 
     run("ck_a")
-    state_path = os.path.join(state_dir, "state")
-    marker = os.path.join(state_path, "_applied_batch")
+    from js_hll_spark.streaming.ndv import _resolve_snapshot
+
+    marker = os.path.join(_resolve_snapshot(state_dir), "_applied_batch")
     assert os.path.exists(marker)
     lines = open(marker).read().splitlines()
     assert len(lines) == 2 and lines[1], "marker must pin the query id"
