@@ -42,18 +42,36 @@ def _scratch(name: str) -> str:
     path reused per query bounds that to ONE live copy, and clearing
     at START (not return) preserves mkdtemp semantics for the run
     while keeping the previous invocation's lazily-consumed results
-    readable until the query is built again. Single-process contract —
-    the same serialized-workload protocol the repo's benches require."""
+    readable until the query is built again.
+
+    Scratch roots are per-PID (ADVICE r5: a fixed per-user path let a
+    second gate/bench process — or a still-unconsumed lazy result from
+    a previous invocation in another process — get its files wiped from
+    underneath it). The bounded-leak property survives: each call
+    sweeps sibling ``pid-*`` roots whose owning process is gone, so
+    dead runs leave nothing and live concurrent runs never touch each
+    other."""
     import getpass
     import os
     import shutil
     import tempfile
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"js_hll_scratch_{getpass.getuser()}",
-        name,
+    root = os.path.join(
+        tempfile.gettempdir(), f"js_hll_scratch_{getpass.getuser()}"
     )
+    os.makedirs(root, exist_ok=True)
+    for entry in os.listdir(root):
+        if not entry.startswith("pid-"):
+            continue
+        try:
+            owner = int(entry[4:])
+            if owner != os.getpid():
+                os.kill(owner, 0)  # raises if the owner is dead
+        except ValueError:
+            pass  # foreign name — leave it
+        except OSError:
+            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+    base = os.path.join(root, f"pid-{os.getpid()}", name)
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     return base

@@ -725,6 +725,17 @@ def test_scratch_dir_wipes_at_start_and_guard_raises(spark):
         f.write("x")
     d2 = _scratch("pytest_scratch_probe")
     assert d2 == d1 and os.listdir(d2) == []
+    # concurrency safety (ADVICE r5): roots are per-PID, so another live
+    # process' scratch is never this process' path; a DEAD process' root
+    # is swept on the next call (the bounded-leak property)
+    assert f"pid-{os.getpid()}" in d1
+    root = os.path.dirname(os.path.dirname(d1))
+    dead = os.path.join(root, "pid-999999999")  # no such pid on linux
+    os.makedirs(dead, exist_ok=True)
+    with open(os.path.join(dead, "stale.txt"), "w") as f:
+        f.write("x")
+    _scratch("pytest_scratch_probe")
+    assert not os.path.exists(dead)
 
     df = spark.range(100).selectExpr("id % 2 AS g", "id AS v")
     # 50 distinct per group <= threshold 64: silent
