@@ -220,6 +220,8 @@ def ann_ivf(
     train_sample: int = 4096,
     iters: int = 8,
     round_to: int = 5,
+    stage_runner=None,
+    stage_name: str = "ivf_index",
 ) -> DataFrame:
     """IVF (inverted-file) cosine top-k: a coarse spherical-k-means
     quantizer partitions vectors into ``nlist`` lists; each query probes
@@ -232,13 +234,42 @@ def ann_ivf(
     Assignment runs as a vectorized numpy matmul per Arrow batch; at
     10^12 rows the candidate join keys on the list id, so the shuffle is
     bounded by list sizes — the classic IVF trade (recall vs nprobe).
+
+    ``stage_runner`` (VERDICT r5 #5) persists the INDEX as durable
+    StageRunner parquet stages — the trained centroids
+    (``{stage_name}_centroids``, nlist tiny rows) and the assigned
+    vector table (``stage_name``): a resumed or repeated query run
+    serves both from parquet without touching the raw corpus at all
+    (the build-once/serve-many shape a real index has — probe-side
+    centroids come from the SAME stage the assignments were built
+    with, so they match by storage, not by retraining determinism).
     Returns (query_id, neighbor_id, cos, rank)."""
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
     from pyspark.sql.window import Window
 
-    sample = _collect_train_sample(vectors, id_col, vec_col, train_sample)
-    cent = _kmeans(sample, nlist, iters, seed=0)
+    if stage_runner is not None:
+        spark = vectors.sparkSession
+
+        def build_centroids() -> DataFrame:
+            sample = _collect_train_sample(
+                vectors, id_col, vec_col, train_sample
+            )
+            c = _kmeans(sample, nlist, iters, seed=0)
+            return spark.createDataFrame(
+                [(i, c[i].tolist()) for i in range(len(c))],
+                "list_id bigint, centroid array<double>",
+            )
+
+        cent_rows = (
+            stage_runner.run(f"{stage_name}_centroids", build_centroids)
+            .orderBy("list_id")
+            .collect()
+        )
+        cent = np.array([r["centroid"] for r in cent_rows])
+    else:
+        sample = _collect_train_sample(vectors, id_col, vec_col, train_sample)
+        cent = _kmeans(sample, nlist, iters, seed=0)
     cent_t = cent.T.copy()  # (dim, nlist)
 
     # assign inline (vector rides along) — no self-join of the vector
@@ -265,6 +296,8 @@ def ann_ivf(
         ]
     )
     v = v_in.mapInPandas(assign_fn, schema=assign_schema)
+    if stage_runner is not None:
+        v = stage_runner.run(stage_name, lambda: v)
 
     # queries probe their nprobe nearest lists (numpy once per batch)
     def probe_fn(batches):

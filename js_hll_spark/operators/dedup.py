@@ -699,3 +699,43 @@ def simhash_candidates(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
+
+
+def simhash_pipeline(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    band_bits: int = 16,
+    max_hamming: int = 3,
+    fast: bool = True,
+    stage_runner=None,
+    stage_name: str = "simhash_signatures",
+    stage_inputs: Sequence[str] = (),
+) -> DataFrame:
+    """Composed SimHash near-dup tier: signatures -> band candidates ->
+    exact Hamming verify, with the signature table materialized ONCE —
+    the banded self-join plus the two-sided verify join otherwise give
+    the composed plan FOUR consumers of the signature subtree, each
+    re-running the vectorized kernel over the raw corpus (the same
+    dual-consumer shape shingle_postings materializes for the MinHash
+    tiers).
+
+    ``stage_runner`` (VERDICT r5 #5) swaps the executor-pinned
+    ``localCheckpoint`` for a DURABLE StageRunner parquet stage named
+    ``stage_name`` with a lineage manifest — fault-tolerant and
+    resumable across driver restarts, same contract (and tests) as the
+    durable posting stage. Returns (id_a, id_b, hamming)."""
+    sigs = (
+        simhash_signatures_fast(df, text_col, id_col)
+        if fast
+        else simhash_signatures(df, text_col, id_col)
+    )
+    if stage_runner is not None:
+        sigs = stage_runner.run(
+            stage_name, lambda: sigs, inputs=stage_inputs
+        )
+    else:
+        sigs = _mat(sigs)
+    cand = simhash_candidates(sigs, band_bits=band_bits)
+    return simhash_verify(sigs, cand, max_hamming=max_hamming)

@@ -901,9 +901,7 @@ def q_simhash_pipeline(spark, sf_dir):
     DuckDB-reproducible); band recall at the radius is pigeonhole-exact
     and pinned in pytest alongside exact-dup coverage."""
     docs = _t_wide(spark, sf_dir, "documents")
-    sigs = dedup.simhash_signatures_fast(docs)
-    cand = dedup.simhash_candidates(sigs)
-    return dedup.simhash_verify(sigs, cand, max_hamming=3)
+    return dedup.simhash_pipeline(docs, max_hamming=3)
 
 
 SQL_DEDUP_PIPELINE = f"""
@@ -2397,6 +2395,21 @@ def q_dedup_pipeline_durable(spark, sf_dir):
     return dedup.ngram_jaccard(pairs=cand, postings=postings, threshold=0.5)
 
 
+def q_simhash_pipeline_durable(spark, sf_dir):
+    """The composed SimHash tier through a DURABLE signature stage
+    (StageRunner parquet + lineage manifest) instead of localCheckpoint
+    (VERDICT r5 #5) — the fault-tolerant materialization path for the
+    second dedup family. Rows-only (murmur3 token hashing is not
+    DuckDB-reproducible); identity with the localCheckpoint composition
+    and the resume contract are pinned by
+    tests/test_operators.py::test_durable_simhash_stage."""
+    from .plans.checkpoint import StageRunner
+
+    runner = StageRunner(spark, _scratch("simhash_durable_stages"))
+    docs = _t_wide(spark, sf_dir, "documents")
+    return dedup.simhash_pipeline(docs, max_hamming=3, stage_runner=runner)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_filter_project": q_scan_filter_project,
     "join_broadcast_agg": q_join_broadcast_agg,
@@ -2475,6 +2488,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_check": q_contamination_check,
     "contamination_bloom": q_contamination_bloom,
     "dedup_pipeline_durable": q_dedup_pipeline_durable,
+    "simhash_pipeline_durable": q_simhash_pipeline_durable,
 }
 
 ORACLES: dict[str, str] = {
