@@ -283,7 +283,7 @@ def contamination_bloom(
             )
 
     partials = tr.mapInPandas(probe_fn, schema=part_schema)
-    out = (
+    result = (
         partials.groupBy("__id")
         .agg(
             F.sum("__n").alias("n_shingles"),
@@ -298,4 +298,10 @@ def contamination_bloom(
             ).alias("frac"),
         )
     )
-    return out.filter(F.col("frac") >= min_frac)
+    result = result.filter(F.col("frac") >= min_frac)
+    # sizing introspection (advisory attributes, the _retire_ckpt_id
+    # convention): what the auto-sizer actually built
+    result._bloom_n_bits = n_bits
+    result._bloom_n_hashes = n_hashes
+    result._bloom_n_distinct = int(len(hashes))
+    return result

@@ -43,6 +43,7 @@ from pyspark.sql.types import (
 
 from ..config import HLLConfig
 from ..core.hll import HLL, estimate_from_registers, update_registers
+from .blocks import checkpoint_rdd_id as _checkpoint_rdd_id
 from ..hashing import murmur3_64_bytes, murmur3_64_uint64, to_uint64
 
 _HASH_COL = "__h64"
@@ -683,6 +684,7 @@ def hll_sketch_explicit(
         )
     partials = partials.localCheckpoint()
     merged = hll_rollup(partials, keys, estimate=estimate)
+    _ckpt_id = _checkpoint_rdd_id(partials)
     if keys:
         rows_df = partials.groupBy(*keys).agg(F.sum(_ROWS_COL).alias(_ROWS_COL))
         out = merged.join(rows_df, eq_null_safe_cond(merged, rows_df, keys)).select(
@@ -695,6 +697,10 @@ def hll_sketch_explicit(
         out = merged.crossJoin(rows_df)
     if not keep_sketch:
         out = out.drop(_SKETCH_COL)
+    # advisory retirement handle (same convention as merge_sketch_tables):
+    # long-lived sessions can release the pinned partials once the result
+    # is materialized — blocks.unpersist_by_id(spark, out._retire_ckpt_id)
+    out._retire_ckpt_id = _ckpt_id
     return out
 
 
