@@ -15,9 +15,15 @@ throughput number (per-posting probe cost is hit-rate-independent: every
 posting is shingled, hashed, and probed exactly once), but the flag-rate
 column is structural to this corpus, not a general expectation.
 
-Usage: python tools/bench_contamination_scale.py   (idle box; ~10 min)
-Env: SPARK_GRAFT_CPUS (default 32), CORPUS (default the 24M parquet),
-REPS (default 3 probe replicates, median reported).
+Protocol: one untimed warm pass (JVM codegen for the shingle/probe
+stages), then ONE timed pass (REPS env raises it; a 24M pass is ~10+ min
+of wall — replicate medians are for sub-minute queries, and the run is
+load-gated instead). The timed pass persists its output so the
+ground-truth checks read the cache instead of re-probing.
+
+Usage: python tools/bench_contamination_scale.py   (idle box)
+Env: SPARK_GRAFT_CPUS (default 32), CORPUS, REPS (default 1).
+Progress goes to stderr; the result is ONE JSON line on stdout.
 """
 
 from __future__ import annotations
@@ -31,7 +37,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CORPUS = os.environ.get("CORPUS", "/tmp/webtext_scaling_24000000.parquet")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-REPS = int(os.environ.get("REPS", "3"))
+REPS = int(os.environ.get("REPS", "1"))
+
+
+def log(msg: str) -> None:
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
 def main() -> None:
@@ -54,48 +64,63 @@ def main() -> None:
     n_train = train.count()
     n_eval = ev.count()
     keep = persistent_rdd_ids(spark)
+    log(f"split ready: train={n_train} eval={n_eval}")
 
-    # construction (the ONE eval-side job: distinct-hash partials ->
-    # driver-built blob -> broadcast)
+    # construction = the ONE eval-side job (distinct-hash partials ->
+    # driver-built blob at exact-count sizing -> broadcast)
     t0 = time.perf_counter()
     out = contamination.contamination_bloom(
         train, ev, "text", "row_id", min_frac=0.8
     )
     t_build = time.perf_counter() - t0
-
     n_bits = out._bloom_n_bits
     n_hashes = out._bloom_n_hashes
     n_distinct = out._bloom_n_distinct
+    log(
+        f"blob built in {t_build:.1f}s: {n_bits // 8} bytes, k={n_hashes}, "
+        f"{n_distinct} distinct eval shingles"
+    )
 
-    # warm rep (JIT; memory: first execution of a shingle query in a
-    # fresh JVM runs 3-5x slow), then timed replicates
+    # untimed warm pass (stage codegen), then timed pass(es)
+    t0 = time.perf_counter()
     flagged = out.count()
+    log(f"warm probe pass: {time.perf_counter() - t0:.1f}s, flagged={flagged}")
     unpersist_blocks(spark, keep)
     times = []
-    for _ in range(REPS):
+    cached = None
+    for i in range(REPS):
+        if cached is not None:
+            cached.unpersist()
         t0 = time.perf_counter()
-        out = contamination.contamination_bloom(
+        cached = contamination.contamination_bloom(
             train, ev, "text", "row_id", min_frac=0.8
-        )
-        assert out.count() == flagged
+        ).persist()
+        assert cached.count() == flagged
         times.append(time.perf_counter() - t0)
-        unpersist_blocks(spark, keep)
+        log(f"timed probe pass {i + 1}/{REPS}: {times[-1]:.1f}s")
     times.sort()
     t_probe = times[len(times) // 2]
 
     # cross-split exact-duplicate ground truth on a bounded sample: every
     # train doc whose text equals an eval doc's text must flag at 1.0
-    sample_truth = (
-        train.join(ev.select("text"), "text", "left_semi")
-        .limit(1000)
+    # (broadcast semi-join: eval side is small). Reads flags from cache.
+    t0 = time.perf_counter()
+    truth_ids = [
+        r[0]
+        for r in train.join(F.broadcast(ev.select("text")), "text", "left_semi")
         .select("row_id")
-    )
-    truth_ids = [r[0] for r in sample_truth.collect()]
+        .limit(1000)
+        .collect()
+    ]
     got = {
         r["row_id"]: r["frac"]
-        for r in out.filter(F.col("row_id").isin(truth_ids)).collect()
+        for r in cached.filter(F.col("row_id").isin(truth_ids)).collect()
     }
     missed = [i for i in truth_ids if got.get(i) != 1.0]
+    log(
+        f"truth check in {time.perf_counter() - t0:.1f}s: "
+        f"{len(truth_ids)} sampled, {len(missed)} missed"
+    )
 
     print(
         json.dumps(
@@ -103,9 +128,9 @@ def main() -> None:
                 "corpus": CORPUS,
                 "n_train": n_train,
                 "n_eval": n_eval,
-                "build_plus_probe_median_s": round(t_probe, 2),
+                "build_s": round(t_build, 2),
+                "probe_pass_s": round(t_probe, 2),
                 "probe_reps_s": [round(t, 2) for t in times],
-                "first_build_s": round(t_build, 2),
                 "docs_per_sec": round(n_train / t_probe, 1),
                 "blob_bytes": n_bits // 8,
                 "bloom_n_bits": n_bits,
