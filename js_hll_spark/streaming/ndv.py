@@ -291,16 +291,20 @@ def streaming_ndv(
             # partial dir that this batch's replay rewrites wholesale
             # (mode=overwrite). Line 2 of the marker pins the
             # checkpoint's query id (see _query_id).
-            snap_name = f"state.v{batch_id}"
+            # version = pointer lineage + 1, NOT the batch id: batch
+            # numbering restarts at 0 after a checkpoint reset, and a
+            # batch-id-named snapshot would then OVERWRITE a still-live
+            # (current or grace-window) snapshot's files under any
+            # holder of its lazy plan. The monotonic counter also means
+            # a commit never writes into the directory its own merge
+            # plan is reading.
+            cur_ver = -1
+            if current_dir is not None:
+                base = os.path.basename(current_dir)
+                if base.startswith("state.v") and base[7:].isdigit():
+                    cur_ver = int(base[7:])
+            snap_name = f"state.v{cur_ver + 1}"
             snap = os.path.join(state_dir, snap_name)
-            if current_dir is not None and os.path.basename(
-                current_dir
-            ) == snap_name:
-                # replaying the batch the pointer already names (its
-                # marker was unreadable): overwrite would delete the
-                # files the merge plan is reading — pin the result first
-                merged = merged.localCheckpoint()
-                retire.append(checkpoint_rdd_id(merged))
             merged.write.mode("overwrite").parquet(snap)
             with open(os.path.join(snap, marker_name), "w") as f:
                 f.write(f"{batch_id}\n{qid}")

@@ -495,3 +495,93 @@ def test_state_retention_bounds_windows(spark, events, tmp_path):
     assert set(capped) == kept
     for w in capped:
         assert capped[w] == full[w]  # retained windows merge identically
+
+
+def test_snapshot_reader_survives_one_commit(spark, events, tmp_path):
+    """The keep-2 snapshot-expiry contract: a LAZY read_ndv_state plan
+    taken before a commit must still collect cleanly after ONE further
+    micro-batch commits (its snapshot survives as 'previous'), and a
+    fresh resolve after the commit must see the new snapshot."""
+    src_dir = str(tmp_path / "grace_src")
+    state_dir = str(tmp_path / "grace_state")
+    ev = events.limit(3000).withColumn(
+        "__b", F.pmod(F.col("event_id"), F.lit(2))
+    )
+    for i in range(2):
+        ev.filter(F.col("__b") == i).drop("__b").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    def run(ckpt, max_files):
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        q = streaming_ndv(
+            stream,
+            "user_id",
+            ts_col="ts",
+            window="6 hours",
+            state_dir=state_dir,
+            watermark=None,
+            log2m=12,
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # first run commits both files' batches; take a lazy plan
+    run("g_ck1", 2)
+    held = read_ndv_state(spark, state_dir)
+    # exactly ONE further commit: append one new file and RESUME the
+    # same checkpoint (only the new file is a new batch)
+    ev.filter(F.col("__b") == 0).drop("__b").limit(500).coalesce(
+        1
+    ).write.mode("append").parquet(src_dir)
+    run("g_ck1", 3)
+    # the held plan's snapshot is now 'previous' — must still collect
+    held_rows = {r["window_start"]: r["ndv"] for r in held.collect()}
+    assert held_rows
+    fresh_df = read_ndv_state(spark, state_dir)
+    fresh = {
+        r["window_start"]: r["ndv"] for r in fresh_df.collect()
+    }
+    # the third file duplicates existing rows: register union is
+    # idempotent, so NDVs agree while the snapshot itself is newer
+    assert held_rows == fresh
+    assert set(held.inputFiles()) != set(fresh_df.inputFiles())
+
+    # checkpoint RESET: batch numbering restarts at 0, but snapshot
+    # versions are pointer-lineage-monotonic — a reset's first commit
+    # must publish version N+1, NOT state.v0 (batch-id naming would
+    # eventually overwrite a still-held snapshot's files in place; the
+    # bug this test was written for). Reset source = one file -> one
+    # commit, so the held plan also stays inside its grace window.
+    held2 = read_ndv_state(spark, state_dir)
+    before_ver = open(os.path.join(state_dir, "_current")).read().strip()
+    reset_src = str(tmp_path / "grace_src2")
+    ev.filter(F.col("__b") == 1).drop("__b").limit(500).coalesce(
+        1
+    ).write.parquet(reset_src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(reset_src)
+    )
+    q = streaming_ndv(
+        stream,
+        "user_id",
+        ts_col="ts",
+        window="6 hours",
+        state_dir=state_dir,
+        watermark=None,
+        log2m=12,
+        checkpoint_dir=str(tmp_path / "g_ck_reset"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    after_ver = open(os.path.join(state_dir, "_current")).read().strip()
+    assert int(after_ver[7:]) == int(before_ver[7:]) + 1, (before_ver, after_ver)
+    assert {r["window_start"]: r["ndv"] for r in held2.collect()} == held_rows
