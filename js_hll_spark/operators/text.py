@@ -139,6 +139,34 @@ def lang_id(col: str | Column = "text") -> Column:
     return expr
 
 
+# PII patterns chosen from the Spark-Java-regex ∩ DuckDB-RE2 dialect
+# intersection so the oracle mirrors them verbatim: character classes,
+# {m,} quantifiers, and \b behave identically in both engines. DuckDB
+# needs the 'g' flag (its regexp_replace is first-match by default;
+# Spark's is always global).
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^ ]+", "<URL>"),
+    (r"\b[0-9]{9,}\b", "<ID>"),
+]
+
+
+def redact_pii(col: str | Column = "text") -> Column:
+    """PII redaction for training corpora, fully in codegen: emails,
+    URLs, and long digit runs (phone/account-ish ids) each replaced by a
+    typed placeholder token. Order matters and is fixed: emails first
+    (an email must not have its domain eaten by the URL rule), then
+    URLs, then digit runs (placeholders contain no digits, so earlier
+    redactions never re-trigger later rules). A regex pass is scrubbing,
+    not NER — it catches the formats above, not names or free-form
+    addresses; it is the deterministic, oracle-able first tier every
+    pipeline runs before any model-based pass."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: append token_count / quality / fingerprint / lang."""
     return (

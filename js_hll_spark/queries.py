@@ -558,6 +558,46 @@ GROUP BY k.lang
 """
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII redaction (operators/text.py:redact_pii) ORACLED end to end:
+    the synthetic corpus carries no real PII, so the query PLANTS a
+    deterministic email / URL / long-id per doc (pure function of
+    doc_id, mirrored verbatim in the oracle) and redacts — every
+    pattern fires on every row, and a dialect divergence between
+    Spark's Java regex and DuckDB's RE2 (the patterns are chosen from
+    the intersection) or an ordering mistake (URL rule eating an email
+    domain) breaks the hash. Fully codegen: regexp_replace chain, no
+    Python on the row path."""
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com via https://h"),
+        F.col("doc_id").cast("string"),
+        F.lit(".example.com/p?q=1 ref 12345678"),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.select(
+        "doc_id", text.redact_pii(dirty).alias("redacted")
+    )
+
+
+SQL_REDACT_PII = """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com via https://h' || CAST(doc_id AS VARCHAR)
+                  || '.example.com/p?q=1 ref 12345678' || CAST(doc_id AS VARCHAR),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^ ]+', '<URL>', 'g'),
+         '\\b[0-9]{9,}\\b', '<ID>', 'g') AS redacted
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # deduplication (exact tiers oracled; hash-dependent tiers rows-only)
 # --------------------------------------------------------------------------
@@ -1208,6 +1248,38 @@ SELECT lang,
 FROM documents
 GROUP BY lang
 """
+
+
+def q_hll_ndv_murmur3_bound(spark, sf_dir):
+    """The murmur3 (AK-convention) estimate family under the same
+    driver-witnessed accuracy contract as q_hll_ndv_bound_check: the
+    python-engine murmur3 pipeline (worker-side vectorized hash —
+    byte-compatible with AK-ecosystem producers) estimates per-lang NDV
+    at log2m=12, and the realized relative error against the DuckDB
+    exact count must sit inside 3 x 1.04/sqrt(4096). Deterministic
+    (fixed hash family, merge-order-independent), measured margin
+    >= 2.5x at every gate SF. Both estimate engines the library ships
+    now leave a per-round accuracy record in CORRECTNESS."""
+    _ship(spark)
+    from .config import HLLConfig
+
+    docs = _t(spark, sf_dir, "documents")
+    approx = hll_ndv(
+        docs, "text", by=["lang"], log2m=12, hash_method="murmur3"
+    )
+    exact = docs.groupBy("lang").agg(
+        F.countDistinct("text").cast("long").alias("ndv_exact")
+    )
+    bound = 3.0 * HLLConfig(log2m=12).relative_error
+    return approx.join(exact, "lang").select(
+        "lang",
+        "ndv_exact",
+        (
+            F.abs(F.col("ndv") - F.col("ndv_exact"))
+            / F.greatest(F.col("ndv_exact"), F.lit(1))
+            <= F.lit(bound)
+        ).alias("within_bound"),
+    )
 
 
 def q_image_decode_sums(spark, sf_dir):
@@ -2434,6 +2506,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count_bpe": q_token_count_bpe,
     "quality_score": q_quality_score,
     "clean_corpus": q_clean_corpus,
+    "redact_pii": q_redact_pii,
     "fingerprint": q_fingerprint,
     "lang_id": q_lang_id,
     "dedup_exact": q_dedup_exact,
@@ -2472,6 +2545,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_ndv_multi": q_hll_ndv_multi,
     "hll_ndv_by_lang": q_hll_ndv_by_lang,
     "hll_ndv_bound_check": q_hll_ndv_bound_check,
+    "hll_ndv_murmur3_bound": q_hll_ndv_murmur3_bound,
     "hll_ndv_murmur3": q_hll_ndv_murmur3,
     "hll_ndv_events_hourly": q_hll_ndv_events_hourly,
     "hll_ndv_events_sliding": q_hll_ndv_events_sliding,
@@ -2514,6 +2588,7 @@ ORACLES: dict[str, str] = {
     "token_count_bpe": SQL_TOKEN_COUNT_BPE,
     "quality_score": SQL_QUALITY,
     "clean_corpus": SQL_CLEAN_CORPUS,
+    "redact_pii": SQL_REDACT_PII,
     "fingerprint": SQL_FINGERPRINT,
     "lang_id": SQL_LANG_ID,
     "dedup_exact": SQL_DEDUP_EXACT,
@@ -2529,6 +2604,7 @@ ORACLES: dict[str, str] = {
     "sketch_table_query": SQL_SKETCH_TABLE,
     "hll_ndv_events_sliding": SQL_NDV_SLIDING,
     "hll_ndv_bound_check": SQL_NDV_BOUND,
+    "hll_ndv_murmur3_bound": SQL_NDV_BOUND,
     "hll_fold_union": SQL_SKETCH_ROLLUP,
     "heavy_hitters_exact": SQL_HEAVY_HITTERS,
     "semijoin_membership": SQL_SEMIJOIN,

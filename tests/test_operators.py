@@ -915,3 +915,27 @@ def test_durable_ivf_index_stage(spark, tmp_path):
         stage_runner=runner,
     )
     assert {tuple(r) for r in resumed.collect()} == base
+
+
+def test_redact_pii_patterns_and_ordering(spark):
+    """redact_pii: each pattern fires, ordering is email-before-URL
+    (a URL rule run first would eat 'user@host.com' hostnames), digit
+    runs under 9 long survive, and clean text passes through verbatim."""
+    rows = spark.createDataFrame(
+        [
+            ("reach me at jo.doe+x@corp.example.co thanks",),
+            ("see https://h7.example.com/p?q=1 and http://a.b for more",),
+            ("account 123456789 pin 12345678 ok",),
+            ("mixed bob@x.io https://x.io/u 9876543210",),
+            ("plain text with no pii at all",),
+        ],
+        ["text"],
+    )
+    got = [r[0] for r in rows.select(text.redact_pii("text")).collect()]
+    assert got == [
+        "reach me at <EMAIL> thanks",
+        "see <URL> and <URL> for more",
+        "account <ID> pin 12345678 ok",
+        "mixed <EMAIL> <URL> <ID>",
+        "plain text with no pii at all",
+    ]
