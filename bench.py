@@ -131,6 +131,8 @@ def main() -> None:
         "clean_corpus",
         "contamination_check",
         "contamination_bloom",
+        "redact_pii",
+        "hll_ndv_bound_check",
     ]
     for name in bench_queries:
         fn = QUERIES[name]
