@@ -86,3 +86,32 @@ def test_bound_check_query_margin(spark):
     )
     bound = 3.0 * HLLConfig(log2m=13).relative_error
     assert max(r.e for r in errs) <= bound / 2.0, (max(r.e for r in errs), bound)
+
+
+def test_murmur3_bound_check_query_margin(spark):
+    """Same contract as the sql-engine margin test, for the murmur3
+    family (hll_ndv_murmur3_bound): within_bound at both gate SFs and
+    >= 2x margin at sf0.01."""
+    from pyspark.sql import functions as F
+
+    from js_hll_spark.config import HLLConfig
+    from js_hll_spark.queries import QUERIES, _t
+    from js_hll_spark.spark.agg import hll_ndv
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = QUERIES["hll_ndv_murmur3_bound"](spark, sf).collect()
+        assert rows and all(r.within_bound for r in rows), sf
+
+    sf = "/root/testdata/sf0.01"
+    docs = _t(spark, sf, "documents")
+    approx = hll_ndv(
+        docs, "text", by=["lang"], log2m=12, hash_method="murmur3"
+    )
+    exact = docs.groupBy("lang").agg(F.countDistinct("text").alias("x"))
+    errs = (
+        approx.join(exact, "lang")
+        .select((F.abs(F.col("ndv") - F.col("x")) / F.col("x")).alias("e"))
+        .collect()
+    )
+    bound = 3.0 * HLLConfig(log2m=12).relative_error
+    assert max(r.e for r in errs) <= bound / 2.0, (max(r.e for r in errs), bound)
