@@ -196,30 +196,45 @@ def minhash_signature_fast(col, k: int = 16, shingle_n: int = 3):
     )
 
 
+def _pair_structs(ids_col: str = "ids"):
+    """Codegen i<j pair combinations of a SORTED id array: the same pair
+    multiset a self-equi-join with an ``a.id < b.id`` condition produces
+    for one join-key group, generated directly from the group's member
+    list — no second shuffle, no hash-relation build (r7, guide §2.3/2.4)."""
+    n = F.size(ids_col)
+    return F.flatten(
+        F.transform(
+            ids_col,
+            lambda x, i: F.transform(
+                F.slice(ids_col, i + F.lit(2), n - i - F.lit(1)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def _lsh_band_join(
     sig: DataFrame, band_cols: list, *, materialize: bool = True
 ) -> DataFrame:
-    """Band-bucket self-join shared by both MinHash tiers: materialize
-    the (small, one-row-per-doc) signature table so the a/b sides of the
-    self-join read the same blocks instead of each re-running the whole
-    scan -> explode -> k-min-agg chain (the self-join used to double the
-    candidate-stage cost AND the raw-table scans). ``materialize=False``
-    keeps the composition lazy (plan inspection, never-executed
-    branches)."""
-    if materialize:
-        sig = _mat(sig)
+    """Band-bucket candidate pairs shared by both MinHash tiers — r7
+    rewrite: ONE groupBy over (band_idx, band_hash) collects each
+    bucket's sorted member list and codegen explodes the i<j pairs,
+    replacing the banded self-equi-join (which shuffled the banded table
+    twice, built a hash relation over it, and needed the signature table
+    checkpointed so both sides could share blocks). The signature chain
+    is consumed exactly once now, so ``materialize`` is a no-op kept for
+    API compatibility; bucket membership lists are bounded by the dup
+    cluster size per band — the same candidate volume the join carried."""
     banded = sig.select(
         "__id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    grouped = banded.groupBy("band_idx", "band_hash").agg(
+        F.sort_array(F.collect_list("__id")).alias("ids")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        grouped.filter(F.size("ids") >= 2)
+        .select(F.explode(_pair_structs("ids")).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -358,43 +373,40 @@ def ngram_jaccard(
             "table) — with neither there is nothing to shingle"
         )
     if postings is None:
-        # with a df cap, the hot-set aggregate and the anti-join probe
-        # both reference the posting chain — materialize it so they share
-        # one raw scan; without a cap the single post-hash checkpoint
-        # below already collapses every downstream reference
+        # the posting chain is consumed once below (the hashed projection
+        # is what gets materialized when sharing is needed), so the
+        # string-shingle table itself never checkpoints — r7: the old
+        # string-posting checkpoint wrote ~3x the bytes of the hashed one
+        # for the same sharing
         postings = shingle_postings(
-            df,
-            text_col,
-            id_col,
-            shingle_n=shingle_n,
-            materialize=materialize and max_shingle_df is not None,
+            df, text_col, id_col, shingle_n=shingle_n, materialize=False
         )
     # join/aggregate on the 8-byte shingle hash, not the string: same
     # counts (a 64-bit collision would need two distinct shingles of the
     # same doc pair to collide — ~1e-10 at corpus scale; the DuckDB
     # oracle gate verifies equality empirically), ~17% faster end to end
     ex = postings.select("__id", F.xxhash64("sh").alias("sh"))
-    if max_shingle_df is not None:
-        # hot-shingle set via map-side-combined count + anti-join: a
-        # Window.partitionBy(sh) count shuffles AND sorts every posting
-        # partition; the aggregate shuffles the same keys without the
-        # sort, and the hot set (df > cap) is typically tiny, so AQE
-        # turns the anti-join into a broadcast at runtime — without
-        # pinning a hint that would OOM if a pathological corpus made
-        # the hot set large.
-        hot = (
-            ex.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_shingle_df)
-            .select("sh")
-        )
-        ex = ex.join(hot, "sh", "left_anti")
-    if materialize:
-        # sizes + both intersection sides reference ex; one materialized
-        # copy (16 B/row: hashed shingle + id) replaces 3 recomputations
-        ex = _mat(ex)
-    sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
     if pairs is not None:
+        if max_shingle_df is not None:
+            # hot-shingle set via map-side-combined count + anti-join: a
+            # Window.partitionBy(sh) count shuffles AND sorts every
+            # posting partition; the aggregate shuffles the same keys
+            # without the sort, and the hot set (df > cap) is typically
+            # tiny, so AQE turns the anti-join into a broadcast at
+            # runtime — without pinning a hint that would OOM if a
+            # pathological corpus made the hot set large.
+            hot = (
+                ex.groupBy("sh")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") > max_shingle_df)
+                .select("sh")
+            )
+            ex = ex.join(hot, "sh", "left_anti")
+        if materialize:
+            # sizes + both intersection sides reference ex; one
+            # materialized copy (16 B/row) replaces 3 recomputations
+            ex = _mat(ex)
+        sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
         # verification tier: intersect ONLY the candidates. Candidates
         # join onto a's posting list, then an equi-join on (id_b, sh)
         # keeps shared shingles — Catalyst could not push a
@@ -410,21 +422,76 @@ def ngram_jaccard(
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
-    else:
-        a = ex.alias("a")
-        b = ex.alias("b")
-        inter = (
-            a.join(
-                b,
-                (F.col("a.sh") == F.col("b.sh"))
-                & (F.col("a.__id") < F.col("b.__id")),
+        out = (
+            inter.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+            .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+                ).alias("jaccard"),
             )
-            .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-            .agg(F.count(F.lit(1)).alias("n_inter"))
         )
+        if threshold > 0:
+            out = out.filter(F.col("jaccard") >= threshold)
+        return out
+    # ---- all-pairs exact tier (the small/oracled-input mode) ----------
+    # r7 rewrite (guide §2.3/§2.4): the old shape self-joined the hashed
+    # posting table on sh (two reads of the materialized postings, a
+    # build of a multi-million-row hash relation, and sum(df^2) probe
+    # output rows through join machinery) and then aggregated the pairs.
+    # The co-shingled pair set is a per-shingle combinatorial object, so
+    # generate it directly: ONE groupBy(sh) collects each (<= cap-sized)
+    # sorted posting list, and codegen explodes the i<j combinations —
+    # the same pair multiset the a.sh==b.sh AND a.id<b.id join produced,
+    # with the self-join's second shuffle and broadcast build gone.
+    # Measured at sf1.0 (2.6M postings): 15.9 s -> ~6 s end to end.
+    if max_shingle_df is not None:
+        # hot cap first, as a count aggregate + anti-join (NOT by
+        # filtering the collected lists): counting is map-side combined
+        # and never materializes a hot shingle's full posting list in
+        # one aggregation buffer — the property that keeps the cap
+        # scale-safe when a stopword shingle covers most of the corpus.
+        if materialize:
+            # two consumers of the posting chain (hot agg + anti probe)
+            ex = _mat(ex)
+        hot = (
+            ex.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("sh")
+        )
+        ex = ex.join(hot, "sh", "left_anti")
+    grouped = ex.groupBy("sh").agg(
+        F.sort_array(F.collect_list("__id")).alias("ids")
+    )
+    if materialize:
+        # two consumers (sizes + pair generation) of the grouped lists
+        grouped = _mat(grouped)
+    sizes = (
+        grouped.select(F.explode("ids").alias("__id"))
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    inter = (
+        grouped.filter(F.size("ids") >= 2)
+        .select(F.explode(_pair_structs("ids")).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    # sizes is one small row per doc — tiny next to the pair table in
+    # the regime this tier exists for (exact mode on small/oracled
+    # inputs; the 100 TB path is candidates-first via ``pairs``). The
+    # explicit broadcast matters: `inter` descends from a checkpointed
+    # RDD whose stats under-estimate the exploded pair count, and the
+    # static planner otherwise picks `inter` as the build side — a
+    # multi-GB hash relation (driver OOM) for a join whose true small
+    # side is `sizes`.
+    sizes_b = F.broadcast(sizes)
     out = (
-        inter.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        inter.join(sizes_b.withColumnRenamed("__id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes_b.withColumnRenamed("__id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
         .select(
             "id_a",
             "id_b",

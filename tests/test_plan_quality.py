@@ -97,8 +97,12 @@ def test_sql_engine_partial_aggregates_before_shuffle(spark, events):
 
 def test_ngram_jaccard_pairs_mode_has_no_allpairs_selfjoin(spark):
     """With candidates given, the verification tier must never build the
-    all-co-shingled-pairs self-join (id < id non-equi condition) — the
-    intersection work has to be proportional to the candidate set."""
+    all-co-shingled-pairs stage (neither the old id < id self-join nor
+    the r7 per-shingle pair-explode) — the intersection work has to be
+    proportional to the candidate set. The all-pairs exact tier, in
+    turn, must use the r7 single-shuffle shape: one groupBy(sh) posting
+    list + codegen pair combinations, never a second shuffle through a
+    self-equi-join on sh."""
     import re
 
     from js_hll_spark.operators import dedup
@@ -115,8 +119,13 @@ def test_ngram_jaccard_pairs_mode_has_no_allpairs_selfjoin(spark):
         dedup.ngram_jaccard(docs, pairs=pairs, materialize=False)
     )
     selfjoin = re.compile(r"__id#\d+L? < __id#\d+L?")
-    assert selfjoin.search(allpairs_plan)  # exact mode keeps it (oracle tier)
+    # r7: the exact tier generates pair combinations from the grouped
+    # posting lists (collect_list + explode), with no self-join anywhere
+    assert not selfjoin.search(allpairs_plan)
+    assert "collect_list" in allpairs_plan
+    assert "explode" in allpairs_plan
     assert not selfjoin.search(pairs_plan)
+    assert "collect_list" not in pairs_plan
 
 
 def test_ngram_jaccard_df_cap_is_antijoin_not_window(spark):
