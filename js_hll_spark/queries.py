@@ -33,6 +33,73 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
+_PARQUET_META_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _parquet_meta(path: str) -> tuple[int, int] | None:
+    """(row count, byte size) from the parquet footer — a driver-side
+    local read, no Spark job. None when the footer cannot be read (non-
+    local path, exotic layout): callers fall back to the pristine scan."""
+    hit = _PARQUET_META_CACHE.get(path)
+    if hit is not None:
+        return hit
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            rows = bytes_ = 0
+            for entry in os.listdir(path):
+                if entry.endswith(".parquet"):
+                    full = os.path.join(path, entry)
+                    rows += pq.ParquetFile(full).metadata.num_rows
+                    bytes_ += os.path.getsize(full)
+        else:
+            rows = pq.ParquetFile(path).metadata.num_rows
+            bytes_ = os.path.getsize(path)
+    except Exception:
+        return None
+    _PARQUET_META_CACHE[path] = (rows, bytes_)
+    return rows, bytes_
+
+
+def _t_auto(
+    spark: SparkSession, sf_dir: str, name: str, *, min_rows: int = 32_000
+) -> DataFrame:
+    """Scale-ADAPTIVE fan-out (guide §2: derive partitioning from input
+    size, never a constant tuned at one SF). The driver fixtures ship
+    one row group per file, so a pristine scan runs the whole
+    pre-shuffle stage on one core; below a few tens of thousands of
+    rows that single core beats paying a repartition (the r2
+    measurements behind the old always-pristine choice, made at sf0.1's
+    5k-row documents), but at the measurement SFs above it the same
+    choice serializes 10-100x more compute. Fan out exactly when (a)
+    the footer row count clears ``min_rows`` and (b) the scan would
+    open fewer splits than cores — a table already arriving in enough
+    splits (the real-cluster shape) keeps its pristine scan."""
+    df = _t(spark, sf_dir, name)
+    meta = _parquet_meta(f"{sf_dir}/{name}.parquet")
+    if meta is None:
+        return df
+    rows, bytes_ = meta
+    par = spark.sparkContext.defaultParallelism
+    try:
+        raw = spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728b"
+        ).lower()
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        raw = raw[:-1] if raw.endswith("b") else raw
+        mult = units.get(raw[-1], 1)
+        max_split = int(raw.rstrip("kmg")) * mult
+    except Exception:
+        max_split = 128 << 20
+    est_splits = max(1, bytes_ // max(1, max_split))
+    if rows >= min_rows and est_splits < par:
+        df = df.repartition(par)
+    return df
+
+
 def _scratch(name: str) -> str:
     """Per-query scratch directory, WIPED at the start of each
     invocation. The streaming/sink/checkpoint queries write table
@@ -406,10 +473,11 @@ FROM gaps GROUP BY user_id
 
 
 def q_token_count(spark, sf_dir):
-    # pristine scan: one regex+split per row is not compute-heavy enough
-    # to pay the _t_wide repartition shuffle (measured 2x faster pristine
-    # at sf0.1 — same r2 lesson as q_dedup_keep_rows)
-    return _t(spark, sf_dir, "documents").select(
+    # scale-adaptive scan (r7): pristine below ~32k rows (the r2
+    # measurement: the fan-out shuffle loses at sf0.1's 5k docs), fanned
+    # out above it (at sf1.0's 50k single-row-group docs the pristine
+    # scan ran the whole tokenize stage on one core)
+    return _t_auto(spark, sf_dir, "documents").select(
         "doc_id", text.token_count("text").alias("n_tokens")
     )
 
@@ -428,8 +496,8 @@ def q_token_count_bpe(spark, sf_dir):
     punctuation) — same RE2-compatible pattern in both engines."""
     # NOTE: F.expr would route the pattern through a SQL string literal,
     # where Spark unescapes \s -> s; the python API keeps it verbatim
-    # pristine scan (measured faster than the fan-out at sf0.1)
-    return _t(spark, sf_dir, "documents").select(
+    # scale-adaptive scan (r7, see q_token_count)
+    return _t_auto(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(
             F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PATTERN), F.lit(0))
@@ -445,8 +513,9 @@ FROM documents
 
 
 def q_quality_score(spark, sf_dir):
-    # pristine scan (measured 2.3x faster than the fan-out at sf0.1)
-    return _t(spark, sf_dir, "documents").select(
+    # scale-adaptive scan (r7, see q_token_count): the 2.3x-faster-
+    # pristine measurement held only at sf0.1's 5k rows
+    return _t_auto(spark, sf_dir, "documents").select(
         "doc_id", text.quality_score("text").alias("quality")
     )
 
@@ -470,8 +539,8 @@ FROM documents
 
 
 def q_fingerprint(spark, sf_dir):
-    # pristine scan: ONE md5 per row (see q_dedup_keep_rows; measured)
-    return _t(spark, sf_dir, "documents").select(
+    # scale-adaptive scan (r7, see q_token_count)
+    return _t_auto(spark, sf_dir, "documents").select(
         "doc_id", text.fingerprint("text").alias("fingerprint")
     )
 
@@ -524,6 +593,14 @@ def q_clean_corpus(spark, sf_dir):
         text.token_count("text").alias("n_tokens"),
         text.fingerprint("text").alias("fp"),
     )
+    # materialization barrier (r7, guide §4.4's duplicated-evaluation
+    # trap at optimizer level): without it Catalyst substitutes the
+    # quality/lang_id/token expressions into the kept-filter and pushes
+    # that filter BELOW the fan-out repartition into BOTH consumer
+    # branches — the tokenize subtree appeared ~40x in a single-core
+    # Filter over the raw scan (measured: 5.6 s; with the barrier the
+    # heavy projection runs once, in parallel, over ~100 B/row output)
+    scored = scored.localCheckpoint()
     kept = scored.filter(
         (F.col("quality") >= 0.3)
         & (F.col("lang_pred") != "und")
@@ -568,7 +645,7 @@ def q_redact_pii(spark, sf_dir):
     the intersection) or an ordering mistake (URL rule eating an email
     domain) breaks the hash. Fully codegen: regexp_replace chain, no
     Python on the row path."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_auto(spark, sf_dir, "documents")
     dirty = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -604,9 +681,8 @@ FROM documents
 
 
 def q_dedup_exact(spark, sf_dir):
-    # pristine scan: one md5 per row needs no fan-out (see
-    # q_dedup_keep_rows)
-    return dedup.dedup_exact(_t(spark, sf_dir, "documents"))
+    # scale-adaptive scan (r7, see q_token_count)
+    return dedup.dedup_exact(_t_auto(spark, sf_dir, "documents"))
 
 
 SQL_DEDUP_EXACT = f"""
@@ -705,9 +781,12 @@ def q_dedup_keep_rows(spark, sf_dir):
     ~100 MB/s anyway; fingerprinting is not compute-heavy the way k x
     shingle minhashing is). Callers with genuinely heavy normalization
     can pass compute_df to fan out only the winner pass."""
-    return dedup.dedup_keep_rows(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "lang", "n_chars"
-    )
+    # r7: probe side stays pristine; the fingerprint pass fans out
+    # scale-adaptively (see q_token_count)
+    return dedup.dedup_keep_rows(
+        _t(spark, sf_dir, "documents"),
+        compute_df=_t_auto(spark, sf_dir, "documents"),
+    ).select("doc_id", "lang", "n_chars")
 
 
 SQL_DEDUP_KEEP_ROWS = f"""
@@ -1145,6 +1224,9 @@ def q_hll_ndv_global(spark, sf_dir):
 
 
 def q_hll_ndv_by_lang(spark, sf_dir):
+    # pristine scan (r7 measured: the fan-out DOUBLED this query — at
+    # 50k rows the per-partition partial agg no longer collapses, so the
+    # repartition only adds an exchange)
     _ship(spark)
     return hll_ndv(
         _t(spark, sf_dir, "documents"), "text", by=["lang"], log2m=13
@@ -1168,6 +1250,8 @@ def q_hll_ndv_murmur3(spark, sf_dir):
 
 def q_hll_ndv_events_hourly(spark, sf_dir):
     _ship(spark)
+    # pristine scan (r7 measured: fan-out regressed 1.65 -> 2.38 s at
+    # sf1.0 — the keyed partial agg output grows with partition count)
     events = _t(spark, sf_dir, "events").withColumn(
         "window_start", F.date_trunc("hour", "ts")
     )
@@ -1182,6 +1266,9 @@ def q_hll_ndv_events_sliding(spark, sf_dir):
     windows per event arithmetically (floor to the 30-min grid and the
     grid slot before it) and hash-matches count(DISTINCT user_id)."""
     _ship(spark)
+    # pristine scan (r7 measured: fan-out regressed 1.9 -> 3.5 s at
+    # sf1.0 — explicit-engine partial state is one hash-set blob per
+    # (window, partition), so partitions multiply the merge work)
     ev = _t(spark, sf_dir, "events").select(
         F.window("ts", "1 hour", "30 minutes").start.alias("window_start"),
         "user_id",
@@ -1224,6 +1311,8 @@ def q_hll_ndv_bound_check(spark, sf_dir):
     _ship(spark)
     from .config import HLLConfig
 
+    # pristine scan (r7 measured: fan-out regressed 0.58 -> 1.74 s,
+    # see q_hll_ndv_by_lang — same shape on both join branches)
     docs = _t(spark, sf_dir, "documents")
     approx = hll_ndv(docs, "text", by=["lang"], log2m=13)
     exact = docs.groupBy("lang").agg(
@@ -1782,6 +1871,8 @@ def q_hll_sketch_rollup(spark, sf_dir):
     rollup over dense registers is hll_sketch_rollup_estimate below
     (rows-only by design)."""
     _ship(spark)
+    # pristine scan (r7 measured: fan-out DOUBLED this query — explicit
+    # partial blobs scale with partitions x keys)
     fine = hll_sketch(
         _t(spark, sf_dir, "documents"),
         "text",
@@ -1811,6 +1902,8 @@ def q_hll_union_agg_sql(spark, sf_dir):
 
     _ship(spark)
     register_sql_functions(spark)
+    # pristine scan (r7 measured: fan-out regressed ~2.8x, see
+    # q_hll_sketch_rollup)
     fine = hll_sketch(
         _t(spark, sf_dir, "documents"),
         "text",
@@ -1836,6 +1929,8 @@ def q_hll_sketch_cube(spark, sf_dir):
     from functools import reduce
 
     _ship(spark)
+    # pristine scan (r7 measured: fan-out regressed ~2x, see
+    # q_hll_sketch_rollup)
     fine = hll_sketch(
         _t(spark, sf_dir, "documents"),
         "text",
