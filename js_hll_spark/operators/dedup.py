@@ -102,15 +102,67 @@ def shingle_postings(
     version in ``stage_name`` (or delete the stage dir) when the data
     changes — otherwise new documents silently reuse stale postings.
     """
-    ex = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.array_distinct(shingles(F.col(text_col), shingle_n))
-        ).alias("sh"),
-    )
+    ex = _shingle_rows_fast(df, text_col, id_col, shingle_n)
     if stage_runner is not None:
         return stage_runner.run(stage_name, lambda: ex, inputs=stage_inputs)
     return _mat(ex) if materialize else ex
+
+
+def _shingle_rows_fast(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """The exploded distinct ``(__id, sh)`` posting rows via one
+    mapInPandas pass — r7 (guide §4.2): the Catalyst formulation
+    (``explode(array_distinct(transform(sequence, i -> array_join(
+    slice(toks, i+1, n)))))``) runs the higher-order lambdas in
+    interpreted mode per shingle and measured 3.3x slower than this
+    batch kernel at sf1.0 (2.6M postings: 3.0 s -> 0.9 s to noop).
+
+    Byte parity with the Catalyst twin (verified exceptAll-empty both
+    ways on the gate corpus, and continuously by the DuckDB oracles of
+    every query built on top): normalization mirrors
+    ``operators/text.tokens`` exactly — Java ``\\s`` is the ASCII class
+    ``[ \\t\\n\\x0B\\f\\r]`` (NOT Python's unicode-aware ``\\s``, which
+    is why the class is spelled out), Java ``trim`` strips all chars
+    <= U+0020, ``split(' ', -1)`` keeps empty fields. The one
+    documented divergence: exotic unicode case mappings where Python
+    ``str.lower`` and Java ``toLowerCase`` disagree (e.g. dotted
+    capital I) — impossible in ASCII corpora."""
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("__id", df.schema[id_col].dataType, True),
+            StructField("sh", StringType(), True),
+        ]
+    )
+    n = shingle_n
+
+    def fn(batches):
+        import re
+
+        ws = re.compile("[ \t\n\x0b\f\r]+")
+        trim_chars = "".join(chr(c) for c in range(33))
+        for pdf in batches:
+            ids_out, shs = [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None or isinstance(txt, float):
+                    continue  # NULL text -> no shingles (Catalyst twin)
+                toks = ws.sub(" ", txt.lower()).strip(trim_chars).split(" ")
+                m = len(toks) - n
+                if m < 0:
+                    m = 0
+                seen = set()
+                for i in range(m + 1):
+                    s = " ".join(toks[i : i + n])
+                    if s not in seen:
+                        seen.add(s)
+                        ids_out.append(did)
+                        shs.append(s)
+            yield pd.DataFrame({"__id": ids_out, "sh": shs})
+
+    return df.select(id_col, text_col).mapInPandas(fn, schema=schema)
 
 
 def _mat(df: DataFrame) -> DataFrame:
@@ -372,6 +424,7 @@ def ngram_jaccard(
             "pass df (raw documents) or postings (a shingle_postings "
             "table) — with neither there is nothing to shingle"
         )
+    postings_was_lazy = postings is None
     if postings is None:
         # the posting chain is consumed once below (the hashed projection
         # is what gets materialized when sharing is needed), so the
@@ -388,6 +441,11 @@ def ngram_jaccard(
     ex = postings.select("__id", F.xxhash64("sh").alias("sh"))
     if pairs is not None:
         if max_shingle_df is not None:
+            if materialize and postings_was_lazy:
+                # the hot aggregate and the anti-join probe both consume
+                # the posting chain; share one hashed copy when the
+                # caller did not pass an already-materialized table
+                ex = _mat(ex)
             # hot-shingle set via map-side-combined count + anti-join: a
             # Window.partitionBy(sh) count shuffles AND sorts every
             # posting partition; the aggregate shuffles the same keys
@@ -402,29 +460,37 @@ def ngram_jaccard(
                 .select("sh")
             )
             ex = ex.join(hot, "sh", "left_anti")
+        # verification tier (r7 rewrite, guide §2.3/§2.4): collapse each
+        # doc's (kept) hashed shingle set into ONE array row via a
+        # single groupBy — the same shuffle the old per-doc sizes
+        # aggregate already paid — then attach both docs' arrays to each
+        # candidate pair and compute the intersection with codegen
+        # array_intersect. The old shape joined the candidate pairs
+        # against the full posting table TWICE (the (id_b, sh) leg was a
+        # multi-million-row shuffle join) and needed an extra
+        # checkpoint of the hashed postings plus two sizes joins.
+        # Per-doc arrays are bounded by shingles-per-doc, so the shape
+        # holds at any corpus size (lists and pairs co-shuffle by id).
+        lists = ex.groupBy("__id").agg(F.collect_list("sh").alias("__shs"))
         if materialize:
-            # sizes + both intersection sides reference ex; one
-            # materialized copy (16 B/row) replaces 3 recomputations
-            ex = _mat(ex)
-        sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
-        # verification tier: intersect ONLY the candidates. Candidates
-        # join onto a's posting list, then an equi-join on (id_b, sh)
-        # keeps shared shingles — Catalyst could not push a
-        # post-aggregation semi-join below the all-pairs self-join
-        # (VERDICT r1 #3). No broadcast hint: candidate sets are usually
-        # tiny and AQE broadcasts them at runtime, but a forced hint
-        # would OOM when an LSH parameter choice yields a candidate set
-        # past executor memory (VERDICT r2 #3).
-        inter = (
-            pairs
-            .join(ex.withColumnRenamed("__id", "id_a"), "id_a")
-            .join(ex.withColumnRenamed("__id", "id_b"), ["id_b", "sh"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
-        )
+            # two consumers (the id_a and id_b attach legs)
+            lists = _mat(lists)
+        a = lists.select(F.col("__id").alias("id_a"), F.col("__shs").alias("__sa"))
+        b = lists.select(F.col("__id").alias("id_b"), F.col("__shs").alias("__sb"))
+        # no broadcast hint on pairs: candidate sets are usually tiny
+        # and AQE broadcasts them at runtime, but a forced hint would
+        # OOM when an LSH parameter choice yields a candidate set past
+        # executor memory (VERDICT r2 #3)
         out = (
-            inter.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-            .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+            pairs.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("__sa", "__sb")).alias("n_inter"),
+                F.size("__sa").alias("n_a"),
+                F.size("__sb").alias("n_b"),
+            )
             .select(
                 "id_a",
                 "id_b",
@@ -453,8 +519,10 @@ def ngram_jaccard(
         # and never materializes a hot shingle's full posting list in
         # one aggregation buffer — the property that keeps the cap
         # scale-safe when a stopword shingle covers most of the corpus.
-        if materialize:
-            # two consumers of the posting chain (hot agg + anti probe)
+        if materialize and postings_was_lazy:
+            # two consumers of the posting chain (hot agg + anti probe);
+            # an already-materialized passed-in posting table needs no
+            # second copy — both consumers re-hash from its blocks
             ex = _mat(ex)
         hot = (
             ex.groupBy("sh")

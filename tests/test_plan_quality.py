@@ -124,8 +124,12 @@ def test_ngram_jaccard_pairs_mode_has_no_allpairs_selfjoin(spark):
     assert not selfjoin.search(allpairs_plan)
     assert "collect_list" in allpairs_plan
     assert "explode" in allpairs_plan
+    # r7: the verify tier attaches per-doc shingle-set arrays to the
+    # candidate pairs and intersects in codegen — no per-shingle pair
+    # generation (no explode of pair combinations), no self-join
     assert not selfjoin.search(pairs_plan)
-    assert "collect_list" not in pairs_plan
+    assert "array_intersect" in pairs_plan
+    assert "flatten" not in pairs_plan
 
 
 def test_ngram_jaccard_df_cap_is_antijoin_not_window(spark):
