@@ -542,12 +542,49 @@ def ngram_jaccard(
         .groupBy("__id")
         .agg(F.count(F.lit(1)).alias("n_sh"))
     )
-    inter = (
-        grouped.filter(F.size("ids") >= 2)
-        .select(F.explode(_pair_structs("ids")).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    # pack each (id_a, id_b) pair into ONE long when every id fits in
+    # 31 bits — the pair aggregation keys a single 8-byte column instead
+    # of a two-column row, measured 10.2 -> 7.0 s on the 67M-pair
+    # aggregate at sf1.0 (r7). The range probe is a driver-side
+    # aggregate over the materialized (tiny) per-shingle list table;
+    # ids are sorted within each list so min/max come from the ends.
+    # Out-of-range ids (or the lazy plan-inspection mode) keep the
+    # struct-keyed path — results are identical either way.
+    packed = False
+    if materialize:
+        lo, hi = grouped.agg(
+            F.min(F.element_at("ids", 1)), F.max(F.element_at("ids", -1))
+        ).first()
+        packed = lo is not None and lo >= 0 and hi < (1 << 31)
+    if packed:
+        n = F.size("ids")
+        pair_longs = F.flatten(
+            F.transform(
+                "ids",
+                lambda x, i: F.transform(
+                    F.slice("ids", i + F.lit(2), n - i - F.lit(1)),
+                    lambda y: F.shiftleft(x, 32).bitwiseOR(y),
+                ),
+            )
+        )
+        inter = (
+            grouped.filter(n >= 2)
+            .select(F.explode(pair_longs).alias("pk"))
+            .groupBy("pk")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+            .select(
+                F.shiftrightunsigned("pk", 32).alias("id_a"),
+                F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("id_b"),
+                "n_inter",
+            )
+        )
+    else:
+        inter = (
+            grouped.filter(F.size("ids") >= 2)
+            .select(F.explode(_pair_structs("ids")).alias("p"))
+            .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     # sizes is one small row per doc — tiny next to the pair table in
     # the regime this tier exists for (exact mode on small/oracled
     # inputs; the 100 TB path is candidates-first via ``pairs``). The
@@ -643,16 +680,41 @@ def connected_components(
     # VERDICT r4 "What's wrong" #2; callers no longer need a sweep to
     # bound this operator's block footprint)
     unpersist_by_id(spark, checkpoint_rdd_id(p))
+    singles = None
     if nodes is not None:
+        # r7: iterate over EDGE-ADJACENT nodes only. A node in no edge
+        # provably never changes label (its neighbor aggregate is
+        # empty), and an edge endpoint outside the node universe never
+        # had a label to propagate — both facts already held in the old
+        # all-nodes loop (an isolated node rode every join doing
+        # nothing). Restricting the loop shrinks each round's label
+        # table from |nodes| to |edge endpoints| (near-dup graphs:
+        # orders of magnitude); the fixed points are emitted directly as
+        # singleton clusters at the end.
         nc = node_col or nodes.columns[0]
-        labels = nodes.select(F.col(nc).alias("id"), F.col(nc).alias("lbl"))
+        all_nodes = nodes.select(F.col(nc).alias("id"))
+        bounded = (
+            edges.join(
+                all_nodes.select(F.col("id").alias("src")), "src", "left_semi"
+            ).join(
+                all_nodes.select(F.col("id").alias("dst")), "dst", "left_semi"
+            )
+        ).localCheckpoint()
+        unpersist_by_id(spark, checkpoint_rdd_id(edges))
+        edges = bounded
+        loop_ids = edges.select(F.col("src").alias("id")).distinct()
+        singles = True  # derived from the FINAL label table below (the
+        # edge checkpoint is retired at loop exit, so anything lazy must
+        # not read it)
+        labels = loop_ids.select("id", F.col("id").alias("lbl"))
     else:
         labels = (
             edges.select(F.col("src").alias("id"))
             .distinct()
             .select("id", F.col("id").alias("lbl"))
         )
-    labels = labels.localCheckpoint()
+    labels_cp = labels.localCheckpoint()
+    labels = labels_cp
     changed = 0
     for _ in range(max_iter):
         nbr = (
@@ -663,22 +725,23 @@ def connected_components(
             .agg(F.min("lbl").alias("nbr_lbl"))
             .select(F.col("src").alias("id"), "nbr_lbl")
         )
-        new = labels.join(nbr, "id", "left").select(
+        # r7: the convergence test rides the SAME pass as the label
+        # update (a __chg flag materialized with the checkpoint) — the
+        # old shape re-joined the new table against the old one per
+        # round just to count changes, doubling the per-round job count
+        new_cp = labels.join(nbr, "id", "left").select(
             "id",
             F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            (F.coalesce("nbr_lbl", F.col("lbl")) < F.col("lbl")).alias("__chg"),
         ).localCheckpoint()
-        changed = (
-            new.select("id", F.col("lbl").alias("new_lbl"))
-            .join(labels, "id")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-            .count()
-        )
+        changed = new_cp.filter("__chg").count()  # reads checkpoint blocks
         # the superseded round's label blocks are no longer referenced
-        # by anything (the convergence count above was their last read)
-        # — retire them so the operator's live footprint stays at ONE
-        # label table + the edge list, independent of round count
-        unpersist_by_id(spark, checkpoint_rdd_id(labels))
-        labels = new
+        # by anything — retire them so the operator's live footprint
+        # stays at ONE label table + the edge list, independent of
+        # round count
+        unpersist_by_id(spark, checkpoint_rdd_id(labels_cp))
+        labels_cp = new_cp
+        labels = new_cp.select("id", "lbl")
         if changed == 0:
             break
     if changed != 0:
@@ -693,6 +756,15 @@ def connected_components(
     # the edge list is dead once converged; only the final label table
     # stays pinned (the returned DataFrame reads its blocks)
     unpersist_by_id(spark, checkpoint_rdd_id(edges))
+    if singles is not None:
+        # non-edge nodes are fixed-point singleton clusters: anti-join
+        # against the CONVERGED label table (whose checkpoint stays
+        # pinned), never against the retired edge blocks
+        labels = labels.unionByName(
+            all_nodes.join(labels.select("id"), "id", "left_anti").select(
+                "id", F.col("id").alias("lbl")
+            )
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
