@@ -260,7 +260,10 @@ def video_frame_features(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # columnar accumulators: pd.DataFrame from a list of row
+            # tuples re-infers per cell; five flat lists build the
+            # Arrow batch directly (r7)
+            ids_o, fi_o, sy, su, sv = [], [], [], [], []
             for mid, blob in zip(pdf[id_col], pdf[blob_col]):
                 frames, (fn_, fd_) = decode_y4m(bytes(blob))
                 n = len(frames)
@@ -278,18 +281,19 @@ def video_frame_features(
                     )
                 sums = frames.astype(np.int64).sum(axis=(1, 2))
                 for i in idxs:
-                    rows.append(
-                        (
-                            mid,
-                            int(i),
-                            int(sums[i, 0]),
-                            int(sums[i, 1]),
-                            int(sums[i, 2]),
-                        )
-                    )
+                    ids_o.append(mid)
+                    fi_o.append(int(i))
+                    sy.append(int(sums[i, 0]))
+                    su.append(int(sums[i, 1]))
+                    sv.append(int(sums[i, 2]))
             yield pd.DataFrame(
-                rows,
-                columns=[id_col, "frame_idx", "sum_y", "sum_u", "sum_v"],
+                {
+                    id_col: ids_o,
+                    "frame_idx": fi_o,
+                    "sum_y": sy,
+                    "sum_u": su,
+                    "sum_v": sv,
+                }
             )
 
     schema = StructType(

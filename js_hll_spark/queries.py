@@ -1500,19 +1500,22 @@ def q_video_frame_sums(spark, sf_dir):
     def mk(batches):
         import numpy as np
 
-        t = np.arange(3)[:, None, None, None]
-        r = np.arange(6)[None, :, None, None]
-        c = np.arange(8)[None, None, :, None]
-        p = np.arange(3)[None, None, None, :]
+        # r7: one vectorized modular expression builds EVERY doc's
+        # frames (leading batch axis), the per-doc loop only serializes
+        # — the old per-doc numpy broadcasting paid ~30 tiny-array
+        # allocations per row
+        t = np.arange(3)[None, :, None, None, None]
+        r = np.arange(6)[None, None, :, None, None]
+        c = np.arange(8)[None, None, None, :, None]
+        p = np.arange(3)[None, None, None, None, :]
         for pdf in batches:
-            ids, blobs = [], []
-            for did in pdf["doc_id"].astype("int64"):
-                fr = ((int(did) * 17 + 11 * t + 7 * r + 3 * c + 5 * p) % 256).astype(
-                    "uint8"
-                )
-                ids.append(int(did))
-                blobs.append(encode_y4m(fr, fps=(2, 1)))
-            yield pd.DataFrame({"media_id": ids, "media": blobs})
+            dids = pdf["doc_id"].to_numpy().astype("int64")
+            fr_all = (
+                (dids[:, None, None, None, None] * 17 + 11 * t + 7 * r + 3 * c + 5 * p)
+                % 256
+            ).astype("uint8")
+            blobs = [encode_y4m(fr_all[i], fps=(2, 1)) for i in range(len(dids))]
+            yield pd.DataFrame({"media_id": dids, "media": blobs})
 
     media = docs.mapInPandas(
         mk,

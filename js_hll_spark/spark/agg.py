@@ -382,6 +382,7 @@ def hll_sketch(
     keep_sketch: bool = True,
     memory_budget_bytes: int = 256 << 20,
     engine: str = "auto",
+    _count_rows: bool = True,
 ) -> DataFrame:
     """Sketch ``value_col`` per group. Returns one row per group with a
     spec-encoded ``sketch`` column, an ``ndv`` estimate and ``rows_seen``.
@@ -449,6 +450,7 @@ def hll_sketch(
                 estimate=estimate,
                 keep_sketch=keep_sketch,
                 _prehashed=True,
+                _count_rows=_count_rows,
             )
         if hash_method != "xxhash64":
             raise ValueError("engine='sql' supports only xxhash64 or raw")
@@ -460,6 +462,7 @@ def hll_sketch(
             regwidth=regwidth,
             estimate=estimate,
             keep_sketch=keep_sketch,
+            _count_rows=_count_rows,
         )
 
     # NULL values are excluded, matching countDistinct semantics (a NULL
@@ -714,6 +717,7 @@ def hll_sketch_sql(
     estimate: bool = True,
     keep_sketch: bool = True,
     _prehashed: bool = False,
+    _count_rows: bool = True,
 ) -> DataFrame:
     """All-JVM variant of hll_sketch: the register file is computed by
     Catalyst itself as ``groupBy(keys, register_index).agg(max(rho))``
@@ -749,11 +753,20 @@ def hll_sketch_sql(
         .otherwise(F.least(F.lit(config.max_register_value), ctz + F.lit(1)))
         .alias("__rho")
     )
+    # ``_count_rows=False`` (the hll_ndv fast path, r7): callers that
+    # discard rows_seen skip the second aggregation buffer — every input
+    # row otherwise updates a count slot beside the max slot in the
+    # partial HashAggregate, pure overhead when only ndv survives
+    aggs = [F.max("__rho").alias("__val")]
+    if _count_rows:
+        aggs.append(F.count(F.lit(1)).alias("__n"))
     per_register = (
-        df.select(*keys, idx, rho)
-        .groupBy(*keys, "__idx")
-        .agg(F.max("__rho").alias("__val"), F.count(F.lit(1)).alias("__n"))
+        df.select(*keys, idx, rho).groupBy(*keys, "__idx").agg(*aggs)
     )
+    if not _count_rows:
+        per_register = per_register.withColumn(
+            "__n", F.lit(0).cast("long")
+        )
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         regs = np.zeros(config.m, dtype=np.uint8)
@@ -859,6 +872,8 @@ def hll_ndv(
         estimate=True,
         keep_sketch=False,
         engine=engine,
+        # ndv drops rows_seen — skip its aggregation buffer (sql engine)
+        _count_rows=False,
     )
     return out.select(*by, "ndv")
 

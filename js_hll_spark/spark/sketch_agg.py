@@ -409,6 +409,12 @@ def heavy_hitters(
     src = df.select(
         *keys, F.col(col).cast("string").alias(_VAL)
     ).filter(F.col(_VAL).isNotNull())
+    # r7: the candidate pass and the CMS build are two full consumers of
+    # the (typically exploded-token) input chain — materialize it once
+    # so the second pass reads blocks instead of re-running
+    # scan -> tokenize -> explode (the value stream is a narrow single
+    # column, so the checkpoint is small relative to recomputing it)
+    src = src.localCheckpoint()
     pool = candidate_pool or max(200, 10 * k)
     if keys:
         return _heavy_hitters_grouped(
