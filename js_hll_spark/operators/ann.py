@@ -20,6 +20,7 @@ with the plan itself.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -36,7 +37,55 @@ def _norm(a):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity of two array columns — r7: a vectorized Arrow
+    kernel replacing the Catalyst higher-order chain
+    (``aggregate(zip_with(a, b, *), 0.0, +)`` ran its lambdas
+    INTERPRETED per element: 3 aggregates x dim evaluations per pair
+    dominated ann_bruteforce).
+
+    The kernel is engineered BIT-IDENTICAL to the old expression, which
+    the hash-exact oracles require: products are taken in the arrays'
+    native dtype (float32 inputs multiply in float32 before the
+    accumulate upcast, exactly as Catalyst multiplies float columns and
+    casts the product to double), accumulation is strictly sequential
+    left-to-right into a float64 accumulator seeded 0.0 (never
+    numpy's pairwise ``sum``), and the final expression is
+    dot/(sqrt(dot_aa)*sqrt(dot_bb)) in float64 — the identical IEEE
+    operation sequence, hence identical doubles. NULL arrays yield
+    NULL; length-mismatched pairs yield NULL (zip_with padded the
+    shorter side with nulls, poisoning the sum); empty arrays yield
+    NaN (0/0) — all mirrored."""
+    @F.pandas_udf("double")
+    def kernel(av: pd.Series, bv: pd.Series) -> pd.Series:
+        ava, bva = av.to_numpy(), bv.to_numpy()
+        n = len(ava)
+        out = [None] * n
+        groups: dict[int, list[int]] = {}
+        for i in range(n):
+            x, y = ava[i], bva[i]
+            if x is None or y is None or len(x) != len(y):
+                continue
+            groups.setdefault(len(x), []).append(i)
+        for dim, idxs in groups.items():
+            A = np.array([ava[i] for i in idxs])
+            B = np.array([bva[i] for i in idxs])
+            m = len(idxs)
+            ab = np.zeros(m, dtype=np.float64)
+            aa = np.zeros(m, dtype=np.float64)
+            bb = np.zeros(m, dtype=np.float64)
+            for j in range(dim):
+                # products in the NATIVE dtype, accumulate in float64 —
+                # the Catalyst promotion order
+                ab += A[:, j] * B[:, j]
+                aa += A[:, j] * A[:, j]
+                bb += B[:, j] * B[:, j]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = ab / (np.sqrt(aa) * np.sqrt(bb))
+            for k, i in enumerate(idxs):
+                out[i] = float(cos[k])
+        return pd.Series(out, dtype=object)
+
+    return kernel(a, b)
 
 
 def ann_bruteforce(
