@@ -346,7 +346,13 @@ def ann_ivf(
     )
     v = v_in.mapInPandas(assign_fn, schema=assign_schema)
     if stage_runner is not None:
-        v = stage_runner.run(stage_name, lambda: v)
+        # inputs= ties the assignment stage's manifest fingerprint to the
+        # centroid stage (ADVICE r6): rebuilding/invalidating only the
+        # centroids now forces re-assignment instead of silently serving
+        # assignments computed against different centroids
+        v = stage_runner.run(
+            stage_name, lambda: v, inputs=[f"{stage_name}_centroids"]
+        )
 
     # queries probe their nprobe nearest lists (numpy once per batch)
     def probe_fn(batches):

@@ -17,13 +17,17 @@ frac)``:
   runtime — no forced hint (an adversarially large eval corpus must
   degrade to a shuffle join, not OOM an executor). This tier is exact
   and DuckDB-reproducible (the registry oracles it).
-- ``contamination_bloom``: the 100 TB path — the eval shingle set
-  collapses to ONE Bloom-filter blob (spark/sketch_agg.py, OR-merged
-  bit arrays; ``n_bits/8`` bytes regardless of eval size), broadcast
-  once, and training postings probe it in a vectorized numpy pass per
-  Arrow batch with partition-local partial aggregation: one partial row
-  per (doc, Arrow batch) shuffles, the eval shingles themselves NEVER
-  shuffle. Bloom's one-sided error means ``n_contaminated`` can only
+- ``contamination_bloom``: the 100 TB path — the eval side runs as ONE
+  job whose partitions emit their distinct 8-byte shingle hashes; the
+  driver np.unique-merges them (8 B per distinct eval shingle of driver
+  memory — the small-eval-side assumption the operator rests on),
+  auto-sizes the filter from the exact count, and builds the Bloom blob
+  locally. The blob broadcasts once and training postings probe it in a
+  vectorized numpy pass per Arrow batch with partition-local partial
+  aggregation: one partial row per (doc, Arrow batch) shuffles, the
+  eval shingles themselves NEVER shuffle. (With an explicit ``n_bits``
+  the driver-merge build still collects the distinct hash set — pick
+  the exact tier instead if eval-side driver memory is the constraint.) Bloom's one-sided error means ``n_contaminated`` can only
   over-count (never a missed leak — the safe direction for
   decontamination); at the pytest sizing no false positive fires and
   the tier equals the exact one row-for-row.

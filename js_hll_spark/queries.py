@@ -136,8 +136,14 @@ def _scratch(name: str) -> str:
                 os.kill(owner, 0)  # raises if the owner is dead
         except ValueError:
             pass  # foreign name — leave it
-        except OSError:
+        except ProcessLookupError:
             shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+        except OSError:
+            # PermissionError (EPERM) means the process EXISTS and we
+            # merely cannot signal it — with /tmp shared across uid
+            # namespaces, treating it as dead would wipe a LIVE run's
+            # scratch from under it (ADVICE r6); skip
+            pass
     base = os.path.join(root, f"pid-{os.getpid()}", name)
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
@@ -2747,7 +2753,8 @@ ORACLES: dict[str, str] = {
 import os as _os
 
 DRIVER_WINDOW = int(_os.environ.get("SPARK_GRAFT_GATE_WINDOW", "50"))
-# 5 is coprime with the current oracled count (56), so the offset walks
+# 5 is coprime with the oracled count (gcd pinned dynamically by
+# test_registry_oracled_queries_fill_and_rotate_driver_window), so the offset walks
 # every residue and each oracled query is driver-witnessed in all but
 # ~excess/len of rounds — step 4 against an even count revisited the
 # same residue classes (VERDICT r5 #6)
