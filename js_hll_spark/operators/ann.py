@@ -59,7 +59,8 @@ def cosine(a, b):
     def kernel(av: pd.Series, bv: pd.Series) -> pd.Series:
         ava, bva = av.to_numpy(), bv.to_numpy()
         n = len(ava)
-        out = [None] * n
+        vals = np.zeros(n, dtype=np.float64)
+        null = np.ones(n, dtype=bool)
         groups: dict[int, list[int]] = {}
         for i in range(n):
             x, y = ava[i], bva[i]
@@ -81,9 +82,15 @@ def cosine(a, b):
                 bb += B[:, j] * B[:, j]
             with np.errstate(invalid="ignore", divide="ignore"):
                 cos = ab / (np.sqrt(aa) * np.sqrt(bb))
-            for k, i in enumerate(idxs):
-                out[i] = float(cos[k])
-        return pd.Series(out, dtype=object)
+            ii = np.asarray(idxs)
+            vals[ii] = cos
+            null[ii] = False
+        # a masked FloatingArray keeps the NULL-vs-NaN distinction
+        # through Arrow: NULL inputs stay NULL (validity mask) while a
+        # computed 0/0 stays a NaN VALUE (empty arrays), exactly like
+        # the Catalyst expression — an object series would collapse the
+        # computed NaN into NULL
+        return pd.Series(pd.arrays.FloatingArray(vals, null))
 
     return kernel(a, b)
 

@@ -127,7 +127,18 @@ def _shingle_rows_fast(
     <= U+0020, ``split(' ', -1)`` keeps empty fields. The one
     documented divergence: exotic unicode case mappings where Python
     ``str.lower`` and Java ``toLowerCase`` disagree (e.g. dotted
-    capital I) — impossible in ASCII corpora."""
+    capital I) — impossible in ASCII corpora.
+
+    One DELIBERATE difference, a latent-bug fix: NULL text yields no
+    posting rows here, per the documented contract ("docs with NULL
+    text produce no shingles") and per the DuckDB oracle CTEs (unnest
+    of a NULL list = no rows). The old Catalyst chain actually emitted
+    one ``(id, NULL)`` row for NULL text (``greatest(size(NULL)-n, 0)``
+    collapses to 0, so the transform produced ``[NULL]``), which
+    downstream hashed to the xxhash64 seed — a phantom shingle shared
+    by every null-text doc that would have broken the oracles had the
+    fixtures contained NULL text (pinned by
+    tests/test_r07_equivalence.py)."""
     import pandas as pd
     from pyspark.sql.types import StringType, StructField, StructType
 
