@@ -738,6 +738,22 @@ def hll_sketch_sql(
     config = HLLConfig(log2m, regwidth)
     keys = list(by)
 
+    # The partial HashAggregate emits up to m rows per key per PARTITION,
+    # so the map-task count is a direct multiplier on the only data
+    # shuffle. A batch input arriving in more partitions than cluster
+    # cores gains nothing from the extra tasks (same hash+rho work, one
+    # wave either way) but pays partitions x keys x m partial rows —
+    # coalesce to defaultParallelism (narrow, no shuffle, merge-order
+    # independence keeps sketches bit-identical). Measured at the bench's
+    # 24M-row webtext shape, 128 -> 32 map tasks: ungrouped 1.63 -> 0.81 s,
+    # by-lang 1.95 -> 1.08 s. Scale-adaptive by construction: a no-op
+    # whenever the input already arrives in <= cores partitions (every
+    # _t_auto/pristine source, and any AQE-coalesced shuffle output).
+    if not df.isStreaming:
+        _cores = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() > _cores:
+            df = df.coalesce(_cores)
+
     if _prehashed:
         h = F.col(value_col)
     else:

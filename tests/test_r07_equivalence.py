@@ -187,3 +187,38 @@ def test_connected_components_edge_restricted_loop_matches_semantics(spark):
         for r in connected_components(pairs, nodes=nodes).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 10: 10, 11: 10, 50: 50}
+
+
+def test_sql_engine_coalesces_wide_inputs_bit_identically(spark):
+    """The sql engine coalesces batch inputs arriving in more partitions
+    than cores before the partial aggregate (partitions is a direct
+    multiplier on the partial shuffle's keys x m row volume). Guard
+    both halves: the Coalesce node appears exactly when partitions >
+    defaultParallelism, and sketches/estimates/rows_seen stay
+    bit-identical across partition counts (merge-order independence)."""
+    from js_hll_spark.spark.agg import hll_sketch
+
+    cores = spark.sparkContext.defaultParallelism
+    base = spark.range(0, 20_000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") % 3_000).alias("v")
+    )
+    wide = base.repartition(cores * 4)
+    narrow = base.repartition(max(1, cores // 2))
+
+    def rows(df):
+        return sorted(
+            (r["k"], bytes(r["sketch"]), r["ndv"], r["rows_seen"])
+            for r in hll_sketch(df, "v", by=["k"], log2m=11).collect()
+        )
+
+    assert rows(wide) == rows(narrow)
+
+    plan_wide = hll_sketch(wide, "v", by=["k"], log2m=11)._jdf.queryExecution().toString()
+    plan_narrow = hll_sketch(narrow, "v", by=["k"], log2m=11)._jdf.queryExecution().toString()
+    assert "Coalesce" in plan_wide
+    assert "Coalesce" not in plan_narrow
+
+    # ungrouped twin (the flagship shape), including the empty-input seed
+    g_wide = hll_sketch(wide, "v", log2m=11).collect()
+    g_narrow = hll_sketch(narrow, "v", log2m=11).collect()
+    assert [tuple(r) for r in g_wide] == [tuple(r) for r in g_narrow]
