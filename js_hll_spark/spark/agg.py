@@ -738,18 +738,25 @@ def hll_sketch_sql(
     config = HLLConfig(log2m, regwidth)
     keys = list(by)
 
-    # The partial HashAggregate emits up to m rows per key per PARTITION,
-    # so the map-task count is a direct multiplier on the only data
-    # shuffle. A batch input arriving in more partitions than cluster
-    # cores gains nothing from the extra tasks (same hash+rho work, one
-    # wave either way) but pays partitions x keys x m partial rows —
-    # coalesce to defaultParallelism (narrow, no shuffle, merge-order
-    # independence keeps sketches bit-identical). Measured at the bench's
-    # 24M-row webtext shape, 128 -> 32 map tasks: ungrouped 1.63 -> 0.81 s,
-    # by-lang 1.95 -> 1.08 s. Scale-adaptive by construction: a no-op
-    # whenever the input already arrives in <= cores partitions (every
-    # _t_auto/pristine source, and any AQE-coalesced shuffle output).
-    if not df.isStreaming:
+    # UNKEYED ONLY: the partial HashAggregate emits m rows per PARTITION
+    # before the only data shuffle, so the map-task count is a direct
+    # multiplier on shuffle volume while per-task partial state is
+    # EXACTLY m registers (~8 KB) no matter how many splits a task
+    # absorbs — coalescing a batch input that arrives in more partitions
+    # than cores down to defaultParallelism is therefore a pure win
+    # (narrow, no shuffle; merge-order independence keeps the sketch
+    # bit-identical). Measured: 24M-row webtext cache, 128 -> 32 tasks,
+    # 1.63 -> 0.81 s; spark-submit scan at 16 MB splits, ndv leg flat at
+    # local[8] (6.28 vs 6.31 s) and 4.97 -> 3.05 s at local[32], ndv
+    # double bit-identical in every run. The KEYED path deliberately
+    # keeps the input partitioning: per-task partial state there is
+    # (keys-in-task x m), and merging key-clustered splits multiplies it
+    # — measured 15.8 -> 26.0 s on the (lang, day) grouped leg at
+    # local[8] (time-clustered scan, ~80 splits/task) before this rule
+    # was restricted to the unkeyed case. A no-op whenever the input
+    # already arrives in <= cores partitions (every _t_auto/pristine
+    # source, any AQE-coalesced shuffle output).
+    if not keys and not df.isStreaming:
         _cores = df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() > _cores:
             df = df.coalesce(_cores)

@@ -189,12 +189,16 @@ def test_connected_components_edge_restricted_loop_matches_semantics(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 10: 10, 11: 10, 50: 50}
 
 
-def test_sql_engine_coalesces_wide_inputs_bit_identically(spark):
+def test_sql_engine_coalesces_wide_unkeyed_inputs_bit_identically(spark):
     """The sql engine coalesces batch inputs arriving in more partitions
-    than cores before the partial aggregate (partitions is a direct
-    multiplier on the partial shuffle's keys x m row volume). Guard
-    both halves: the Coalesce node appears exactly when partitions >
-    defaultParallelism, and sketches/estimates/rows_seen stay
+    than cores before the UNKEYED partial aggregate (map tasks multiply
+    the partial shuffle's m-row-per-partition volume; per-task state is
+    exactly m registers, so merging splits is bounded). The KEYED path
+    must keep the input partitioning: per-task state there is
+    keys-in-task x m, and merging key-clustered splits multiplies it
+    (measured 15.8 -> 26.0 s on a (lang, day) leg at local[8]). Guard
+    all three: the Coalesce node appears exactly when partitions >
+    defaultParallelism AND the agg is unkeyed, and results stay
     bit-identical across partition counts (merge-order independence)."""
     from js_hll_spark.spark.agg import hll_sketch
 
@@ -205,6 +209,19 @@ def test_sql_engine_coalesces_wide_inputs_bit_identically(spark):
     wide = base.repartition(cores * 4)
     narrow = base.repartition(max(1, cores // 2))
 
+    def qe(df):
+        return df._jdf.queryExecution().toString()
+
+    # unkeyed (the flagship shape): Coalesce iff wide; results identical
+    assert "Coalesce" in qe(hll_sketch(wide, "v", log2m=11))
+    assert "Coalesce" not in qe(hll_sketch(narrow, "v", log2m=11))
+    g_wide = hll_sketch(wide, "v", log2m=11).collect()
+    g_narrow = hll_sketch(narrow, "v", log2m=11).collect()
+    assert [tuple(r) for r in g_wide] == [tuple(r) for r in g_narrow]
+
+    # keyed: NEVER coalesced, results identical across partition counts
+    assert "Coalesce" not in qe(hll_sketch(wide, "v", by=["k"], log2m=11))
+
     def rows(df):
         return sorted(
             (r["k"], bytes(r["sketch"]), r["ndv"], r["rows_seen"])
@@ -212,13 +229,3 @@ def test_sql_engine_coalesces_wide_inputs_bit_identically(spark):
         )
 
     assert rows(wide) == rows(narrow)
-
-    plan_wide = hll_sketch(wide, "v", by=["k"], log2m=11)._jdf.queryExecution().toString()
-    plan_narrow = hll_sketch(narrow, "v", by=["k"], log2m=11)._jdf.queryExecution().toString()
-    assert "Coalesce" in plan_wide
-    assert "Coalesce" not in plan_narrow
-
-    # ungrouped twin (the flagship shape), including the empty-input seed
-    g_wide = hll_sketch(wide, "v", log2m=11).collect()
-    g_narrow = hll_sketch(narrow, "v", log2m=11).collect()
-    assert [tuple(r) for r in g_wide] == [tuple(r) for r in g_narrow]
